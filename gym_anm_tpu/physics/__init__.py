@@ -1,0 +1,19 @@
+"""Physics kernels: Y-bus, Newton-Raphson load flow, projections, transition."""
+
+from .power_flow import NRResult, nr_solve
+from .projection import make_pair_indices, project_polytope_2d
+from .transition import GridTables, TransitionOut, branch_flows, make_tables, transition
+from .ybus import build_ybus
+
+__all__ = [
+    "nr_solve",
+    "NRResult",
+    "build_ybus",
+    "project_polytope_2d",
+    "make_pair_indices",
+    "GridTables",
+    "TransitionOut",
+    "make_tables",
+    "transition",
+    "branch_flows",
+]

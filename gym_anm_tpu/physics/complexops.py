@@ -1,0 +1,34 @@
+"""Split-complex helpers.
+
+The physics kernels keep complex quantities as (re, im) pairs of real
+arrays instead of complex dtypes: real matmuls map directly onto the TPU
+MXU, complex support on accelerators is spotty, and a single code path can
+then run in float32 (throughput mode) or float64 (parity mode).
+"""
+
+import jax.numpy as jnp
+
+
+def cmul(ar, ai, br, bi):
+    """(ar+j·ai)·(br+j·bi)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def cdiv(ar, ai, br, bi):
+    """(ar+j·ai)/(br+j·bi)."""
+    d = br * br + bi * bi
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+
+def cabs(ar, ai):
+    return jnp.sqrt(ar * ar + ai * ai)
+
+
+def cmatvec(Mre, Mim, vr, vi):
+    """Complex matrix-vector product with split storage.
+
+    Shapes: M [..., N, N], v [..., N].  Uses real matmuls (MXU-friendly).
+    """
+    re = Mre @ vr - Mim @ vi
+    im = Mre @ vi + Mim @ vr
+    return re, im

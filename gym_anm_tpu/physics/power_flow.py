@@ -1,0 +1,143 @@
+"""Batched Newton–Raphson AC load-flow solver.
+
+TPU-native replacement for ``gym_anm/simulator/solve_load_flow.py:7-226``.
+The algorithm is the same iterate-for-iterate (this is what makes single-env
+trajectories match the reference):
+
+* polar unknowns x = [θ₁..θ_{N-1}, |V|₁..|V|_{N-1}], flat start θ=0, |V|=1,
+  slack anchored at V₀ = 1+0j (solve_load_flow.py:42,111-112,167-173);
+* mismatch f(x) = (V ∘ (YV)*)[1:] − (p + jq), split into re/im;
+* analytic Jacobian from the dS/dθ and dS/d|V| diagonal-matrix identities
+  (solve_load_flow.py:146-162);
+* undamped updates x ← x − J⁻¹F until ‖F‖∞ ≤ xtol or 100 iterations;
+* converged = ¬isnan(diff); stable = converged ∧ diff ≤ xtol.
+
+Differences from the reference are purely representational: dense
+split-complex arithmetic instead of scipy sparse (dense wins at ≤33 buses on
+TPU, and real matmuls hit the MXU), a `lax.while_loop` instead of a Python
+loop (so the whole solve jits/vmaps), and a batched `jnp.linalg.solve` in
+place of SuperLU's `spsolve`.  Under `vmap`, JAX's while-loop batching
+applies per-lane masked updates, so each environment lane stops exactly when
+the reference would.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .complexops import cmatvec
+
+
+class NRResult(NamedTuple):
+    v_re: jax.Array      # [N] full complex bus voltage (slack included)
+    v_im: jax.Array
+    n_iter: jax.Array    # scalar int
+    diff: jax.Array      # final ‖F‖∞
+    converged: jax.Array  # bool: no NaN encountered
+    stable: jax.Array    # bool: converged and diff <= xtol
+
+
+def _assemble_v(theta, vm, dtype):
+    """V = [1+0j, |V|·e^{jθ}]."""
+    one = jnp.ones((1,), dtype=dtype)
+    zero = jnp.zeros((1,), dtype=dtype)
+    v_re = jnp.concatenate([one, vm * jnp.cos(theta)])
+    v_im = jnp.concatenate([zero, vm * jnp.sin(theta)])
+    return v_re, v_im
+
+
+def _mismatch(x, p, q, Yre, Yim, n):
+    """F(x) = [Re(S−s); Im(S−s)] with S = V ∘ conj(YV), rows 1..N−1."""
+    theta, vm = x[:n], x[n:]
+    v_re, v_im = _assemble_v(theta, vm, x.dtype)
+    yv_re, yv_im = cmatvec(Yre, Yim, v_re, v_im)
+    # V * conj(YV)
+    s_re = v_re * yv_re + v_im * yv_im
+    s_im = v_im * yv_re - v_re * yv_im
+    F = jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
+    return F, (v_re, v_im, yv_re, yv_im)
+
+
+def _jacobian(v_re, v_im, yv_re, yv_im, Yre, Yim, n):
+    """Analytic Jacobian of the mismatch w.r.t. [θ, |V|] (rows/cols 1..N−1).
+
+    dS/dθ  = j·diag(V)·conj(diag(YV) − Y·diag(V))
+    dS/d|V| = diag(V/|V|)·conj(diag(YV)) + diag(V)·conj(Y·diag(V/|V|))
+    """
+    N = v_re.shape[0]
+    eye = jnp.eye(N, dtype=v_re.dtype)
+
+    # M = diag(YV) − Y·diag(V)
+    M_re = yv_re * eye - Yre * v_re[None, :] + Yim * v_im[None, :]
+    M_im = yv_im * eye - Yre * v_im[None, :] - Yim * v_re[None, :]
+    # A = diag(V)·conj(M)  →  row k scaled by V_k, M conjugated
+    A_re = v_re[:, None] * M_re + v_im[:, None] * M_im
+    A_im = v_im[:, None] * M_re - v_re[:, None] * M_im
+    # dS/dθ = j·A
+    dSdA_re, dSdA_im = -A_im, A_re
+
+    vabs = jnp.sqrt(v_re * v_re + v_im * v_im)
+    vn_re, vn_im = v_re / vabs, v_im / vabs
+    # B = Y·diag(Vnorm); C = diag(V)·conj(B)
+    B_re = Yre * vn_re[None, :] - Yim * vn_im[None, :]
+    B_im = Yre * vn_im[None, :] + Yim * vn_re[None, :]
+    C_re = v_re[:, None] * B_re + v_im[:, None] * B_im
+    C_im = v_im[:, None] * B_re - v_re[:, None] * B_im
+    # + diag(Vnorm · conj(YV))
+    d_re = vn_re * yv_re + vn_im * yv_im
+    d_im = vn_im * yv_re - vn_re * yv_im
+    dSdM_re = C_re + d_re * eye
+    dSdM_im = C_im + d_im * eye
+
+    J = jnp.block(
+        [
+            [dSdA_re[1:, 1:], dSdM_re[1:, 1:]],
+            [dSdA_im[1:, 1:], dSdM_im[1:, 1:]],
+        ]
+    )
+    return J
+
+
+@partial(jax.jit, static_argnames=("xtol", "lim_iter"))
+def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100) -> NRResult:
+    """Solve the power-flow equations for one network.
+
+    Parameters
+    ----------
+    Yre, Yim : [N, N] — split-complex admittance matrix.
+    p, q : [N-1] — net active/reactive injections at buses 1..N−1 (p.u.).
+    xtol : float — ‖F‖∞ convergence tolerance (1e-5 in the reference's
+        ``Simulator.transition``, simulator.py:591).
+    lim_iter : int — iteration cap (solve_load_flow.py:176).
+
+    vmap over leading batch axes of (Yre, Yim, p, q) for the env farm.
+    """
+    dtype = p.dtype
+    N = Yre.shape[-1]
+    n = N - 1
+
+    x0 = jnp.concatenate([jnp.zeros(n, dtype=dtype), jnp.ones(n, dtype=dtype)])
+    F0, _ = _mismatch(x0, p, q, Yre, Yim, n)
+    diff0 = jnp.max(jnp.abs(F0))
+
+    def cond(carry):
+        x, F, diff, it = carry
+        return jnp.logical_and(diff > xtol, it < lim_iter)
+
+    def body(carry):
+        x, F, diff, it = carry
+        _, (v_re, v_im, yv_re, yv_im) = _mismatch(x, p, q, Yre, Yim, n)
+        J = _jacobian(v_re, v_im, yv_re, yv_im, Yre, Yim, n)
+        x = x - jnp.linalg.solve(J, F)
+        F, _ = _mismatch(x, p, q, Yre, Yim, n)
+        diff = jnp.max(jnp.abs(F))
+        return x, F, diff, it + 1
+
+    x, F, diff, n_iter = jax.lax.while_loop(cond, body, (x0, F0, diff0, jnp.zeros((), jnp.int32)))
+
+    v_re, v_im = _assemble_v(x[:n], x[n:], dtype)
+    converged = jnp.logical_not(jnp.isnan(diff))
+    stable = jnp.logical_and(converged, diff <= xtol)
+    return NRResult(v_re=v_re, v_im=v_im, n_iter=n_iter, diff=diff, converged=converged, stable=stable)

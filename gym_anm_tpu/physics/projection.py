@@ -1,0 +1,89 @@
+"""Exact Euclidean projection onto small 2-D polytopes.
+
+TPU-native replacement for the per-device cvxpy QPs of the reference
+(``gym_anm/simulator/components/devices.py:282-306`` for generators and
+``:474-524`` for storage units).  Each device's feasible (P, Q) region is a
+convex polygon described by at most ~10 half-planes; the projection of a
+point onto such a region is either
+
+* the point itself (if feasible),
+* its orthogonal projection onto the supporting line of one facet, or
+* a vertex (intersection of two supporting lines).
+
+Enumerating all of these candidates with static shapes and picking the
+feasible one with minimum distance yields the EXACT minimizer of
+``min ‖x − point‖²  s.t.  A·x ≤ b`` — equal to the reference's interior-point
+(ECOS/OSQP) answer up to the latter's solver tolerance, while being a few
+fused element-wise ops instead of a host round-trip.  Fully vmappable over
+devices and environment lanes.
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_pair_indices(k):
+    """Static upper-triangular pair indices for a K-constraint polytope."""
+    iu = np.triu_indices(k, 1)
+    return np.asarray(iu[0]), np.asarray(iu[1])
+
+
+@partial(jnp.vectorize, excluded=(3, 4), signature="(two),(k,two),(k)->(two)")
+def _project_impl(point, A, b, pair_i, pair_j):
+    # Row k is "active" if it describes a real constraint: finite b, finite
+    # non-zero normal.  Rows with b=+inf (unbounded sides) or NaN data
+    # (degenerate tau/rho from infinite bounds) never bind.
+    finite_A = jnp.all(jnp.isfinite(A), axis=1)
+    nonzero_A = jnp.sum(jnp.abs(A), axis=1) > 0
+    active = jnp.isfinite(b) & finite_A & nonzero_A
+
+    # Feasibility tolerance: tight (the candidates are exact up to rounding).
+    tol = 1e-11 * (1.0 + jnp.abs(b))
+
+    def feasible(c):
+        viol = A @ c - b
+        return jnp.all(jnp.where(active, viol <= tol, True))
+
+    # Candidate 0: the point itself.
+    cands = [point]
+
+    # Candidates 1..K: projection onto each supporting line
+    #   c = x − a (aᵀx − b) / ‖a‖².
+    nrm2 = jnp.sum(A * A, axis=1)
+    resid = A @ point - b
+    safe_nrm2 = jnp.where(nrm2 > 0, nrm2, 1.0)
+    line_proj = point[None, :] - A * (resid / safe_nrm2)[:, None]
+    line_proj = jnp.where(active[:, None], line_proj, jnp.inf)
+    cands.append(line_proj)
+
+    # Candidates: pairwise intersections (vertices).
+    ai, aj = A[pair_i], A[pair_j]
+    bi, bj = b[pair_i], b[pair_j]
+    det = ai[:, 0] * aj[:, 1] - ai[:, 1] * aj[:, 0]
+    ok = (jnp.abs(det) > 1e-30) & active[pair_i] & active[pair_j]
+    safe_det = jnp.where(ok, det, 1.0)
+    vx = (bi * aj[:, 1] - bj * ai[:, 1]) / safe_det
+    vy = (ai[:, 0] * bj - aj[:, 0] * bi) / safe_det
+    verts = jnp.where(ok[:, None], jnp.stack([vx, vy], axis=1), jnp.inf)
+    cands.append(verts)
+
+    C = jnp.concatenate([c.reshape(-1, 2) for c in cands], axis=0)
+    feas = jnp.all(
+        jnp.where(active[None, :], C @ A.T - b[None, :] <= tol[None, :], True), axis=1
+    )
+    feas &= jnp.all(jnp.isfinite(C), axis=1)
+    d2 = jnp.sum((C - point[None, :]) ** 2, axis=1)
+    d2 = jnp.where(feas, d2, jnp.inf)
+    best = jnp.argmin(d2)
+    return C[best]
+
+
+def project_polytope_2d(point, A, b, pair_idx):
+    """Project ``point`` [... , 2] onto {x : A x ≤ b}.
+
+    A: [..., K, 2], b: [..., K]; ``pair_idx`` from :func:`make_pair_indices`.
+    Broadcasts over leading axes (devices, batch lanes).
+    """
+    return _project_impl(point, A, b, pair_idx[0], pair_idx[1])
