@@ -1,0 +1,48 @@
+"""A minimal custom environment on a 2-bus grid.
+
+Equivalent of the reference's ``examples/simple_env.py``: slack generator
+(bus 0) --- load (bus 1), random initial states, random load demand in
+[-10, 0] and a (useless) auxiliary variable — the CPU-runnable PR1
+configuration from BASELINE.json.
+"""
+
+import numpy as np
+
+from gym_anm_tpu.compat import ANMEnv
+from gym_anm_tpu.networks import two_bus_network
+
+
+class SimpleEnvironment(ANMEnv):
+    """An example of a simple 2-bus custom environment."""
+
+    def __init__(self):
+        observation = "state"
+        K = 1
+        delta_t = 0.25
+        gamma = 0.9
+        lamb = 100
+        aux_bounds = np.array([[0, 10]])
+        costs_clipping = (1, 100)
+        seed = 1
+        super().__init__(two_bus_network, observation, K, delta_t, gamma, lamb,
+                         aux_bounds, costs_clipping, seed)
+
+    def init_state(self):
+        n_dev = self.simulator.N_device
+        n_des = self.simulator.N_des
+        n_gen = self.simulator.N_non_slack_gen
+        return np.random.rand(2 * n_dev + n_des + n_gen + self.K)
+
+    def next_vars(self, s_t):
+        P_load = -10 * np.random.rand(1)[0]
+        aux = np.random.randint(0, 10)
+        return np.array([P_load, aux])
+
+
+if __name__ == "__main__":
+    env = SimpleEnvironment()
+    env.reset()
+    for t in range(10):
+        a = env.action_space.sample()
+        o, r, terminated, _, _ = env.step(a)
+        print(f"t={t}, r_t={r:.3}")

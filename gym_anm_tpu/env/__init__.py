@@ -1,0 +1,5 @@
+"""Host-side environment layer (Simulator facade over the jitted core)."""
+
+from .simulator import Simulator
+
+__all__ = ["Simulator"]

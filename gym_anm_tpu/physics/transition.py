@@ -314,7 +314,7 @@ def transition(
     #    feasible polygon (devices.py:183-189, 282-306).
     if len(tb.gen_pos):
         p_pot = jnp.clip(P_pot / tb.baseMVA, tb.gen_p_min, tb.gen_p_max)
-        b = tb.gen_b_static.at[:, 2].set(p_pot)
+        b = jnp.asarray(tb.gen_b_static).at[:, 2].set(p_pot)
         pt = jnp.stack([P_set_gen, Q_set_gen], axis=-1) / tb.baseMVA
         proj = project_polytope_2d(pt, tb.gen_A, b, tb.gen_pair)
         dev_p = dev_p.at[tb.gen_pos].set(proj[:, 0])
@@ -324,7 +324,7 @@ def transition(
 
     # 3. Storage: project, then update SoC (devices.py:474-547).
     if len(tb.des_pos):
-        b = tb.des_b_static
+        b = jnp.asarray(tb.des_b_static)
         b = b.at[:, 8].set(-(soc - tb.des_soc_max) / (tb.delta_t * tb.des_eff))
         b = b.at[:, 9].set(tb.des_eff * (soc - tb.des_soc_min) / tb.delta_t)
         pt = jnp.stack([P_set_des, Q_set_des], axis=-1) / tb.baseMVA

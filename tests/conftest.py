@@ -1,0 +1,149 @@
+"""Test configuration.
+
+All tests run on CPU: float64 parity math needs it (TPU has no f64 LU), and
+the multi-device sharding tests use 8 virtual CPU devices.  These settings
+must land before the JAX backend initializes.
+"""
+
+import os
+import sys
+import types
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE_PATH = "/root/reference"
+
+
+def _install_reference_stubs():
+    """Make the reference package importable without its optional deps.
+
+    cvxpy is replaced by a numpy/scipy-backed stub that actually solves the
+    tiny projection QPs the reference devices build, so that reference
+    rollouts through generator/storage devices still work for parity tests.
+    """
+    if "cvxpy" not in sys.modules:
+        import numpy as np
+
+        cv = types.ModuleType("cvxpy")
+
+        def _project_exact(point, G, h):
+            """Exact Euclidean projection onto {x : Gx <= h} in 2D (numpy;
+            independent of the package's JAX implementation)."""
+            ok = np.isfinite(h) & np.all(np.isfinite(G), axis=1) & (np.abs(G).sum(1) > 0)
+            G, h = G[ok], h[ok]
+            tol = 1e-11 * (1.0 + np.abs(h))
+
+            def feasible(c):
+                return np.all(G @ c - h <= tol)
+
+            cands = [point]
+            for k in range(len(G)):
+                a, bb = G[k], h[k]
+                n2 = a @ a
+                cands.append(point - a * ((a @ point - bb) / n2))
+            for k in range(len(G)):
+                for l in range(k + 1, len(G)):
+                    M = np.array([G[k], G[l]])
+                    det = np.linalg.det(M)
+                    if abs(det) > 1e-30:
+                        cands.append(np.linalg.solve(M, np.array([h[k], h[l]])))
+            best, best_d = None, np.inf
+            for c in cands:
+                if np.all(np.isfinite(c)) and feasible(c):
+                    d = ((c - point) ** 2).sum()
+                    if d < best_d:
+                        best, best_d = c, d
+            return best
+
+        class _Var:
+            __array_ufunc__ = None  # force numpy to defer to __rmatmul__
+
+            def __init__(self, n):
+                self.n = n
+                self.value = None
+
+            def __sub__(self, point):
+                return _SumSquares(self, point)
+
+            def __rmatmul__(self, G):
+                return _GX(G, self)
+
+        class _SumSquares:
+            def __init__(self, var, point):
+                self.var, self.point = var, point
+
+        class _Constraint:
+            def __init__(self, G, var, h):
+                self.G, self.var, self.h = G, var, h
+
+        class _GX:
+            def __init__(self, G, var):
+                self.G, self.var = G, var
+
+            def __le__(self, h):
+                return _Constraint(self.G, self.var, h)
+
+        class _Minimize:
+            def __init__(self, expr):
+                self.expr = expr
+
+        class _Problem:
+            def __init__(self, objective, constraints=()):
+                self.objective = objective
+                self.constraints = constraints
+
+            def solve(self, **kwargs):
+                expr = self.objective.expr
+                var = expr.var
+                point = np.asarray(expr.point, dtype=float)
+                c = self.constraints[0]
+                x = _project_exact(point, np.asarray(c.G, float), np.asarray(c.h, float))
+                var.value = x
+                self.status = "optimal"
+                return float(((x - point) ** 2).sum())
+
+        cv.Variable = lambda n=1, **k: _Var(n)
+        cv.Parameter = lambda *a, **k: None
+        cv.Problem = _Problem
+        cv.Minimize = _Minimize
+        cv.sum_squares = lambda ss: ss
+
+        sys.modules["cvxpy"] = cv
+
+    for name in ("websocket_server", "websocket", "requests"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if not hasattr(sys.modules["websocket_server"], "WebsocketServer"):
+        sys.modules["websocket_server"].WebsocketServer = object
+    if not hasattr(sys.modules["websocket"], "create_connection"):
+        sys.modules["websocket"].create_connection = lambda *a, **k: None
+
+
+def reference_available():
+    return os.path.isdir(REFERENCE_PATH)
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the reference gym_anm package (read-only upstream)."""
+    if not reference_available():
+        pytest.skip("reference implementation not available")
+    _install_reference_stubs()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import gym_anm as ref_pkg  # noqa: F401
+
+    return ref_pkg
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference implementation not available"
+)

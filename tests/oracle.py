@@ -1,0 +1,66 @@
+"""Physics-invariant oracle for load-flow solutions.
+
+Conceptual port of the reference's most valuable test asset,
+``tests/simulator/test_simulator_transitions.py:189-265``: instead of
+comparing against golden numbers, verify that a solution satisfies the
+power-flow equations themselves.  Works for any solver (including batched
+JAX ones).
+"""
+
+import numpy as np
+
+
+def check_pfe_solution(sim, atol=5e-5):
+    """Assert the current simulator state satisfies the PFE invariants.
+
+    Parameters
+    ----------
+    sim : gym_anm_tpu.env.simulator.Simulator
+        A simulator that has just completed a (converged) transition.
+    atol : float
+        Absolute tolerance — bounded by the NR residual tolerance (1e-5)
+        times network scale factors.
+    """
+    Y = sim.Y_bus.toarray()
+    V = np.array([bus.v for bus in sim.buses.values()])
+    I = np.array([bus.i for bus in sim.buses.values()])
+
+    # 1. Slack voltage is anchored at 1+0j.
+    slack = [b for b in sim.buses.values() if b.is_slack][0]
+    assert abs(slack.v - (1 + 0j)) < 1e-12
+
+    # 2. Nodal currents: I = Y V.
+    assert np.allclose(I, Y @ V, atol=atol)
+
+    # 3. Nodal power: S_i = V_i conj(I_i).
+    S = V * np.conj(I)
+    bus_p = np.array([b.p for b in sim.buses.values()])
+    bus_q = np.array([b.q for b in sim.buses.values()])
+    assert np.allclose(S.real, bus_p, atol=atol)
+    assert np.allclose(S.imag, bus_q, atol=atol)
+
+    # 4. Bus injections equal the sum of device injections.
+    for bus_id, bus in sim.buses.items():
+        if bus.is_slack:
+            continue
+        p_dev = sum(d.p for d in sim.devices.values() if d.bus_id == bus_id)
+        q_dev = sum(d.q for d in sim.devices.values() if d.bus_id == bus_id)
+        assert abs(bus.p - p_dev) < 1e-10
+        assert abs(bus.q - q_dev) < 1e-10
+
+    # 5. Branch currents/flows from the pi-model.
+    for (f, t), br in sim.branches.items():
+        v_f, v_t = sim.buses[f].v, sim.buses[t].v
+        tap = br.tap_magn * np.exp(1j * br.shift)
+        i_from = (br.series + br.shunt) * v_f / np.abs(tap) ** 2 - br.series * v_t / np.conj(tap)
+        i_to = (br.series + br.shunt) * v_t - br.series * v_f / tap
+        assert abs(br.i_from - i_from) < atol
+        assert abs(br.i_to - i_to) < atol
+        s_from = v_f * np.conj(i_from)
+        s_to = v_t * np.conj(i_to)
+        assert abs(br.p_from - s_from.real) < atol
+        assert abs(br.q_from - s_from.imag) < atol
+        assert abs(br.p_to - s_to.real) < atol
+        assert abs(br.q_to - s_to.imag) < atol
+        expected_s = np.sign(s_from.real) * max(abs(s_from), abs(s_to))
+        assert abs(br.s_apparent_max - expected_s) < atol

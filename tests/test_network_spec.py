@@ -1,0 +1,136 @@
+"""Validation rules of the network-spec parser.
+
+Covers the same rule set as the reference's
+``tests/simulator/test_network_checks.py`` plus per-device parsing rules.
+"""
+
+import numpy as np
+import pytest
+
+from gym_anm_tpu import errors, load_network
+from gym_anm_tpu.networks import anm6_network, ieee33_network, two_bus_network
+
+
+def _net(bus=None, device=None, branch=None, base=100.0):
+    return {
+        "baseMVA": base,
+        "bus": np.array(bus if bus is not None else [[0, 0, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]]),
+        "device": np.array(
+            device
+            if device is not None
+            else [
+                [0, 0, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+                [1, 1, -1, 0.2, 0, -10, None, None, None, None, None, None, None, None, None],
+            ],
+            dtype=object,
+        ),
+        "branch": np.array(branch if branch is not None else [[0, 1, 0.1, 0.2, 0, 10, 1, 0]]),
+    }
+
+
+def test_base_mva_positive():
+    with pytest.raises(errors.BaseMVAError):
+        load_network(_net(base=0.0))
+
+
+def test_single_slack_bus_required():
+    with pytest.raises(errors.BusSpecError):
+        load_network(_net(bus=[[0, 1, 132, 1.1, 0.9], [1, 1, 33, 1.1, 0.9]]))
+    with pytest.raises(errors.BusSpecError):
+        load_network(_net(bus=[[0, 0, 132, 1.1, 0.9], [1, 0, 33, 1.1, 0.9]]))
+
+
+def test_single_slack_device_required():
+    dev = [
+        [0, 0, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+        [1, 1, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+    ]
+    with pytest.raises(errors.DeviceSpecError):
+        load_network(_net(device=dev))
+
+
+def test_slack_bus_device_must_match():
+    dev = [
+        [0, 1, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+        [1, 1, -1, 0.2, 0, -10, None, None, None, None, None, None, None, None, None],
+    ]
+    with pytest.raises(errors.DeviceSpecError):
+        load_network(_net(device=dev))
+
+
+def test_unique_ids():
+    with pytest.raises(errors.BusSpecError):
+        load_network(_net(bus=[[0, 0, 132, 1.1, 0.9], [0, 1, 33, 1.1, 0.9]]))
+    dev = [
+        [0, 0, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+        [0, 1, -1, 0.2, 0, -10, None, None, None, None, None, None, None, None, None],
+    ]
+    with pytest.raises(errors.DeviceSpecError):
+        load_network(_net(device=dev))
+
+
+def test_no_parallel_branches():
+    with pytest.raises(errors.BranchSpecError):
+        load_network(_net(branch=[[0, 1, 0.1, 0.2, 0, 10, 1, 0], [1, 0, 0.1, 0.2, 0, 10, 1, 0]]))
+
+
+def test_branch_endpoints_exist():
+    with pytest.raises(errors.BranchSpecError):
+        load_network(_net(branch=[[0, 2, 0.1, 0.2, 0, 10, 1, 0]]))
+
+
+def test_branch_zero_impedance_rejected():
+    with pytest.raises(errors.BranchSpecError):
+        load_network(_net(branch=[[0, 1, 0.0, 0.0, 0, 10, 1, 0]]))
+
+
+def test_load_positive_pmax_rejected():
+    dev = [
+        [0, 0, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+        [1, 1, -1, 0.2, 5.0, -10, None, None, None, None, None, None, None, None, None],
+    ]
+    with pytest.raises(errors.LoadSpecError):
+        load_network(_net(device=dev))
+
+
+def test_storage_requires_soc_max():
+    dev = [
+        [0, 0, 0, None, 200, -200, 200, -200, None, None, None, None, None, None, None],
+        [1, 1, 3, None, 50, -50, 50, -50, 30, -30, 25, -25, None, 0, 0.9],
+    ]
+    with pytest.raises(errors.StorageSpecError):
+        load_network(_net(device=dev))
+
+
+def test_per_unit_conversion_and_tau_rho():
+    """Flexibility coefficients match the reference formulas on ANM6 dev 6."""
+    spec = load_network(anm6_network)
+    d = spec.dev_pos_of(6)  # the DES unit
+    base = spec.baseMVA
+    assert spec.p_max[d] == 50 / base
+    assert spec.soc_max[d] == 100 / base
+    assert spec.eff[d] == 0.9
+    # tau_1 = (q_plus - q_max)/(p_max - p_plus) = (25-50)/(50-30) = -1.25 (pu-consistent)
+    np.testing.assert_allclose(spec.tau_1[d], (25 / base - 50 / base) / (50 / base - 30 / base))
+    np.testing.assert_allclose(spec.rho_1[d], 50 / base - spec.tau_1[d] * 30 / base)
+
+
+def test_shipped_network_shapes():
+    s2 = load_network(two_bus_network)
+    assert (s2.n_bus, s2.n_dev, s2.n_branch) == (2, 2, 1)
+    s6 = load_network(anm6_network)
+    assert (s6.n_bus, s6.n_dev, s6.n_branch) == (6, 7, 5)
+    assert (s6.n_load, s6.n_gen, s6.n_des) == (3, 2, 1)
+    s33 = load_network(ieee33_network)
+    assert (s33.n_bus, s33.n_dev, s33.n_branch) == (33, 36, 37)
+    assert (s33.n_load, s33.n_cap, s33.n_oltc) == (32, 2, 1)
+    assert s33.n_action == 3
+    # the IEEE33 grid is meshed: all 37 branches, tie switches closed
+    assert s33.n_branch == 37
+
+
+def test_oltc_binding():
+    spec = load_network(ieee33_network)
+    assert spec.oltc_branch.tolist() == [0]  # branch (0, 1)
+    assert spec.oltc_tap_min.tolist() == [0.9]
+    assert spec.oltc_tap_max.tolist() == [1.1]

@@ -1,0 +1,118 @@
+"""Golden-trajectory parity vs the reference implementation.
+
+Fixed seeds, shared action streams — observations, rewards and termination
+flags must agree to float64 round-off accumulated through the NR solves
+(BASELINE.json's single-env correctness gate)."""
+
+import numpy as np
+import pytest
+
+from .conftest import requires_reference
+
+OBS_TOL = 1e-8
+REW_TOL = 1e-8
+
+
+def _rollout(env, seed, n_steps, action_seed):
+    obs, _ = env.reset(seed=seed)
+    env.action_space.seed(action_seed)
+    O, R, T = [obs], [], []
+    for _ in range(n_steps):
+        a = env.action_space.sample()
+        o, r, term, trunc, _ = env.step(a)
+        O.append(o)
+        R.append(r)
+        T.append(term)
+        if term:
+            o, _ = env.reset()
+            O.append(o)
+    return np.array(O[: n_steps + 1]), np.array(R), np.array(T)
+
+
+@requires_reference
+def test_ieee33_spaces_match(reference):
+    from gym_anm.envs.ieee33_env.ieee33 import IEEE33Env as RefEnv
+
+    from gym_anm_tpu.compat import IEEE33Env
+
+    ref, mine = RefEnv(), IEEE33Env()
+    np.testing.assert_array_equal(ref.action_space.low, mine.action_space.low)
+    np.testing.assert_array_equal(ref.action_space.high, mine.action_space.high)
+    assert ref.observation_space.shape == mine.observation_space.shape
+    np.testing.assert_array_equal(ref.observation_space.low, mine.observation_space.low)
+    np.testing.assert_array_equal(ref.observation_space.high, mine.observation_space.high)
+
+
+@requires_reference
+@pytest.mark.parametrize("seed,action_seed", [(123, 7), (0, 42)])
+def test_ieee33_golden_rollout(reference, seed, action_seed):
+    from gym_anm.envs.ieee33_env.ieee33 import IEEE33Env as RefEnv
+
+    from gym_anm_tpu.compat import IEEE33Env
+
+    O1, R1, T1 = _rollout(RefEnv(), seed, 100, action_seed)
+    O2, R2, T2 = _rollout(IEEE33Env(), seed, 100, action_seed)
+    np.testing.assert_allclose(O1, O2, atol=OBS_TOL)
+    np.testing.assert_allclose(R1, R2, atol=REW_TOL)
+    np.testing.assert_array_equal(T1, T2)
+
+
+@requires_reference
+def test_simple_env_golden_rollout(reference):
+    """The 2-bus example env (PR1 gate).  Its hooks draw from the GLOBAL
+    numpy RNG, so both envs must consume identical global streams."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_simple_env", "/root/reference/examples/simple_env.py"
+    )
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    repo_spec = importlib.util.spec_from_file_location(
+        "my_simple_env", "/root/repo/examples/simple_env.py"
+    )
+    my_mod = importlib.util.module_from_spec(repo_spec)
+    repo_spec.loader.exec_module(my_mod)
+
+    def run(cls, n=50):
+        np.random.seed(2024)
+        env = cls()
+        obs, _ = env.reset(seed=5)
+        env.action_space.seed(9)
+        O, R = [obs], []
+        for _ in range(n):
+            a = env.action_space.sample()
+            o, r, term, _, _ = env.step(a)
+            O.append(o)
+            R.append(r)
+            assert not term
+        return np.array(O), np.array(R)
+
+    O1, R1 = run(ref_mod.SimpleEnvironment)
+    O2, R2 = run(my_mod.SimpleEnvironment)
+    np.testing.assert_allclose(O1, O2, atol=OBS_TOL)
+    np.testing.assert_allclose(R1, R2, atol=REW_TOL)
+
+
+@requires_reference
+def test_ieee33_oltc_and_caps_reach_devices(reference):
+    """Actions must land on the devices: cap Q set-point reaches the device
+    and tap set-point reaches the branch (style of tests/test_oltc.py and
+    tests/test_capacitor_bank.py)."""
+    from gym_anm_tpu.compat import IEEE33Env
+
+    env = IEEE33Env()
+    env.reset(seed=0)
+    a = np.array([0.7, -0.3, 0.93])
+    env.step(a)
+    sim = env.simulator
+    # caps: q in p.u. = action / baseMVA (clipped)
+    assert abs(sim.devices[33].q - 0.7 / sim.baseMVA) < 1e-12
+    assert abs(sim.devices[34].q - (-0.3) / sim.baseMVA) < 1e-12
+    assert abs(sim.devices[35].tap - 0.93) < 1e-12
+    assert abs(sim.branches[(0, 1)].tap_magn - 0.93) < 1e-12
+    # tap out of range is clipped
+    env.step(np.array([0.0, 0.0, 1.1]))
+    assert abs(sim.devices[35].tap - 1.1) < 1e-12

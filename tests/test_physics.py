@@ -1,0 +1,149 @@
+"""Physics kernels: Y-bus values, NR solver invariants and reference parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu import load_network
+from gym_anm_tpu.env.simulator import Simulator
+from gym_anm_tpu.networks import anm6_network, ieee33_network, two_bus_network
+from gym_anm_tpu.physics import build_ybus, nr_solve
+
+from .conftest import requires_reference
+from .oracle import check_pfe_solution
+
+
+def _my_ybus(spec, tap=None):
+    series = 1.0 / (spec.br_r + 1j * spec.br_x)
+    tap = spec.br_tap0 if tap is None else tap
+    Yre, Yim = build_ybus(
+        spec.n_bus,
+        spec.br_f,
+        spec.br_t,
+        jnp.asarray(series.real),
+        jnp.asarray(series.imag),
+        jnp.asarray(spec.br_b / 2),
+        jnp.asarray(np.cos(spec.br_shift)),
+        jnp.asarray(np.sin(spec.br_shift)),
+        jnp.asarray(tap, dtype=jnp.float64),
+    )
+    return np.asarray(Yre) + 1j * np.asarray(Yim)
+
+
+def test_ybus_analytic_transformer():
+    """Hand-derived Y-bus for a 2-bus line with an off-nominal transformer
+    (same check as tests/simulator/test_simulator_basics.py:48-67)."""
+    r, x, b = 0.1, 0.3, 0.2
+    tap_magn, shift_deg = 0.97, 30.0
+    net = {
+        "baseMVA": 10.0,
+        "bus": np.array([[0, 0, 100, 1.1, 0.9], [1, 1, 100, 1.1, 0.9]]),
+        "device": np.array(
+            [
+                [0, 0, 0, None, 50, -50, 50, -50, None, None, None, None, None, None, None],
+                [1, 1, -1, 0.2, 0, -10, None, None, None, None, None, None, None, None, None],
+            ],
+            dtype=object,
+        ),
+        "branch": np.array([[0, 1, r, x, b, 10, tap_magn, shift_deg]]),
+    }
+    spec = load_network(net)
+    Y = _my_ybus(spec)
+
+    y = 1 / (r + 1j * x)
+    ysh = 1j * b / 2
+    tap = tap_magn * np.exp(1j * shift_deg * np.pi / 180)
+    expected = np.array(
+        [
+            [(y + ysh) / np.abs(tap) ** 2, -y / np.conj(tap)],
+            [-y / tap, y + ysh],
+        ]
+    )
+    np.testing.assert_allclose(Y, expected, rtol=1e-12)
+
+
+@requires_reference
+@pytest.mark.parametrize("net", [two_bus_network, anm6_network, ieee33_network])
+def test_ybus_matches_reference(reference, net):
+    from gym_anm.simulator import Simulator as RefSim
+
+    spec = load_network(net)
+    ref = RefSim(net, delta_t=1.0, lamb=100)
+    np.testing.assert_array_equal(_my_ybus(spec), ref.Y_bus.toarray())
+
+
+@requires_reference
+@pytest.mark.parametrize("net", [two_bus_network, anm6_network, ieee33_network])
+def test_nr_matches_reference_solver(reference, net):
+    from gym_anm.simulator import Simulator as RefSim
+    from gym_anm.simulator import solve_load_flow as ref_slf
+
+    spec = load_network(net)
+    ref = RefSim(net, delta_t=1.0, lamb=100)
+    series = 1.0 / (spec.br_r + 1j * spec.br_x)
+    Yre = jnp.asarray(_my_ybus(spec).real)
+    Yim = jnp.asarray(_my_ybus(spec).imag)
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        p = rng.uniform(-0.03, 0.0, spec.n_bus - 1)
+        q = rng.uniform(-0.01, 0.01, spec.n_bus - 1)
+        for i, bus in enumerate(ref.buses.values()):
+            if not bus.is_slack:
+                bus.p, bus.q = p[i - 1], q[i - 1]
+        V_ref, stable_ref = ref_slf.solve_pfe_newton_raphson(ref, xtol=1e-5)
+        res = nr_solve(Yre, Yim, jnp.asarray(p), jnp.asarray(q))
+        V = np.asarray(res.v_re) + 1j * np.asarray(res.v_im)
+        assert bool(res.stable) == stable_ref
+        np.testing.assert_allclose(V, V_ref, atol=1e-10)
+
+
+def test_nr_batched_vmap():
+    """vmapped solves equal per-lane solves (masked while-loop semantics)."""
+    import jax
+
+    spec = load_network(ieee33_network)
+    Y = _my_ybus(spec)
+    Yre, Yim = jnp.asarray(Y.real), jnp.asarray(Y.imag)
+    rng = np.random.default_rng(3)
+    B = 16
+    p = jnp.asarray(rng.uniform(-0.05, 0.0, (B, spec.n_bus - 1)))
+    q = jnp.asarray(rng.uniform(-0.02, 0.02, (B, spec.n_bus - 1)))
+    batched = jax.vmap(lambda pp, qq: nr_solve(Yre, Yim, pp, qq))(p, q)
+    for i in range(B):
+        single = nr_solve(Yre, Yim, p[i], q[i])
+        np.testing.assert_allclose(batched.v_re[i], single.v_re, atol=1e-12)
+        np.testing.assert_allclose(batched.v_im[i], single.v_im, atol=1e-12)
+        assert int(batched.n_iter[i]) == int(single.n_iter)
+
+
+def test_nr_divergence_flags():
+    """Absurd injections must not report a stable solution."""
+    spec = load_network(two_bus_network)
+    Y = _my_ybus(spec)
+    res = nr_solve(jnp.asarray(Y.real), jnp.asarray(Y.imag), jnp.asarray([-1e6]), jnp.asarray([-1e6]))
+    assert not bool(res.stable)
+
+
+@pytest.mark.parametrize("net", [two_bus_network, anm6_network, ieee33_network])
+def test_transition_satisfies_pfe_invariants(net):
+    """Random feasible injections -> the solution satisfies the PFE oracle
+    (style of tests/simulator/test_simulator_transitions.py)."""
+    sim = Simulator(net, delta_t=1.0, lamb=100)
+    spec = sim.spec
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        P_load = {int(spec.dev_ids[p]): rng.uniform(-3, 0) for p in spec.load_pos}
+        gen_ids = [int(spec.dev_ids[p]) for p in spec.gen_nonslack_pos]
+        P_pot = {i: rng.uniform(0, 20) for i in gen_ids}
+        P_set = {i: rng.uniform(0, 20) for i in gen_ids}
+        Q_set = {i: rng.uniform(-5, 5) for i in gen_ids}
+        for p in spec.des_pos:
+            i = int(spec.dev_ids[p])
+            P_set[i] = rng.uniform(-10, 10)
+            Q_set[i] = rng.uniform(-5, 5)
+        for p in spec.cap_pos:
+            Q_set[int(spec.dev_ids[p])] = rng.uniform(0, 0.5)
+        _, _, _, _, conv = sim.transition(P_load, P_pot, P_set, Q_set)
+        assert conv
+        check_pfe_solution(sim)

@@ -1,0 +1,91 @@
+"""The exact polytope projection vs brute-force QP solutions."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from gym_anm_tpu.physics import make_pair_indices, project_polytope_2d
+
+
+def _brute(point, A, b):
+    act = np.isfinite(b) & np.all(np.isfinite(A), 1) & (np.abs(A).sum(1) > 0)
+    A2, b2 = A[act], b[act]
+    cons = [{"type": "ineq", "fun": lambda x: b2 - A2 @ x}]
+    r = minimize(
+        lambda x: ((x - point) ** 2).sum(),
+        x0=np.zeros(2),
+        constraints=cons,
+        method="SLSQP",
+        options={"maxiter": 300, "ftol": 1e-16},
+    )
+    return r.x
+
+
+def _random_gen_polytope(rng):
+    p_min, p_max = 0.0, rng.uniform(0.1, 2)
+    p_pot = rng.uniform(0, p_max)
+    q_max = rng.uniform(0.1, 1)
+    q_min = -q_max
+    p_plus = rng.uniform(p_min, p_max)
+    q_plus = rng.uniform(0, q_max)
+    q_minus = rng.uniform(q_min, q_plus)
+    tau1 = (q_plus - q_max) / (p_max - p_plus) if p_max != p_plus else 0.0
+    tau2 = (q_minus - q_min) / (p_max - p_plus) if p_max != p_plus else 0.0
+    rho1 = q_max - tau1 * p_plus
+    rho2 = q_min - tau2 * p_plus
+    A = np.array([[-1, 0], [1, 0], [1, 0], [0, -1], [0, 1], [-tau1, 1], [tau2, -1]], float)
+    b = np.array([-p_min, p_max, p_pot, -q_min, q_max, rho1, -rho2])
+    return A, b
+
+
+def test_matches_brute_force_generator_polytopes():
+    rng = np.random.default_rng(7)
+    pair = make_pair_indices(7)
+    worst = 0.0
+    for _ in range(200):
+        A, b = _random_gen_polytope(rng)
+        point = rng.uniform(-2, 2, 2)
+        mine = np.asarray(project_polytope_2d(jnp.asarray(point), jnp.asarray(A), jnp.asarray(b), pair))
+        ref = _brute(point, A, b)
+        worst = max(worst, np.abs(mine - ref).max())
+    assert worst < 1e-6  # SLSQP tolerance dominates; ours is exact
+
+
+def test_feasible_point_is_fixed_point():
+    pair = make_pair_indices(4)
+    A = jnp.asarray([[1.0, 0], [-1, 0], [0, 1], [0, -1]])
+    b = jnp.asarray([1.0, 1, 1, 1])
+    pt = jnp.asarray([0.3, -0.4])
+    out = np.asarray(project_polytope_2d(pt, A, b, pair))
+    np.testing.assert_array_equal(out, np.asarray(pt))
+
+
+def test_vertex_projection():
+    pair = make_pair_indices(4)
+    A = jnp.asarray([[1.0, 0], [-1, 0], [0, 1], [0, -1]])
+    b = jnp.asarray([1.0, 1, 1, 1])
+    out = np.asarray(project_polytope_2d(jnp.asarray([5.0, 5.0]), A, b, pair))
+    np.testing.assert_allclose(out, [1.0, 1.0])
+
+
+def test_infinite_and_nan_rows_ignored():
+    pair = make_pair_indices(7)
+    A = jnp.asarray([[-1.0, 0], [1, 0], [1, 0], [0, -1], [0, 1], [0.0, 1], [0.0, -1]])
+    b = jnp.asarray([0.0, jnp.inf, 0.5, jnp.inf, jnp.inf, jnp.nan, jnp.nan])
+    out = np.asarray(project_polytope_2d(jnp.asarray([2.0, 3.0]), A, b, pair))
+    np.testing.assert_allclose(out, [0.5, 3.0])
+
+
+def test_batched_shapes():
+    pair = make_pair_indices(7)
+    rng = np.random.default_rng(0)
+    B, D = 4, 3
+    A = np.tile(np.array([[-1, 0], [1, 0], [1, 0], [0, -1], [0, 1], [0.1, 1], [0.2, -1]], float), (B, D, 1, 1))
+    b = np.abs(rng.normal(size=(B, D, 7))) + 0.5
+    pts = rng.normal(size=(B, D, 2)) * 2
+    out = np.asarray(project_polytope_2d(jnp.asarray(pts), jnp.asarray(A), jnp.asarray(b), pair))
+    assert out.shape == (B, D, 2)
+    for i in range(B):
+        for j in range(D):
+            ref = _brute(pts[i, j], A[i, j], b[i, j])
+            np.testing.assert_allclose(out[i, j], ref, atol=1e-6)
