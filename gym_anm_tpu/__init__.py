@@ -26,6 +26,16 @@ _jax.config.update("jax_enable_x64", True)
 from . import errors  # noqa: E402
 from .specs import NetworkSpec, check_network_specs, load_network  # noqa: E402
 
+# Register the canonical tasks with Gymnasium under the reference's IDs.
+from gymnasium.envs.registration import register as _register, registry as _registry  # noqa: E402
+
+for _id, _ep in (
+    ("ANM6Easy-v0", "gym_anm_tpu.compat:ANM6Easy"),
+    ("IEEE33-v0", "gym_anm_tpu.compat:IEEE33Env"),
+):
+    if _id not in _registry:
+        _register(id=_id, entry_point=_ep)
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -209,11 +209,16 @@ def create_multi_capacitor_network():
 
 
 def create_unequal_capacitor_network():
-    """Renewable network with the 2 stock capacitors (device IDs 8, 9)
-    replaced by 6 units of very different sizes
-    (ieee33_unequal_capacitors.py:9-83)."""
+    """Renewable network with the 2 stock capacitors replaced by 6 units of
+    very different sizes (ieee33_unequal_capacitors.py:9-83).
+
+    NB: the reference removes device IDs 8 and 9 believing them to be the
+    stock capacitors, but those IDs are loads (the capacitors are devices
+    33 and 34); the resulting env is never actually instantiated upstream
+    (its ``__init__`` keeps the renewable network), so we implement the
+    documented intent: drop the existing capacitor-bank devices."""
     net = create_renewable_network()
-    devices = [d for d in net["device"].tolist() if d[0] not in (8, 9)]
+    devices = [d for d in net["device"].tolist() if d[2] != 4]
     next_id = int(max(d[0] for d in devices)) + 1
     for bus, q_max in ((17, 0.30), (24, 0.15), (30, 0.12), (8, 0.05), (12, 0.03), (32, 0.01)):
         devices.append(_capacitor_device(next_id, bus, q_max))

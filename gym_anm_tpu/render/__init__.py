@@ -1,0 +1,1 @@
+"""Browser-based rendering subsystem (HTTP + WebSocket servers)."""

@@ -1,0 +1,20 @@
+"""Rendering entry points (start/update/close).
+
+Placeholder until the stdlib HTTP/WebSocket renderer lands; environments
+import this lazily, so headless training is unaffected.
+"""
+
+
+def start(title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, costs_range):
+    raise NotImplementedError(
+        "Browser rendering is not available yet in gym_anm_tpu; run headless "
+        "(do not call env.render())."
+    )
+
+
+def update(*args, **kwargs):
+    raise NotImplementedError
+
+
+def close(http_server, ws_server):
+    return None

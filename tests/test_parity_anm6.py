@@ -1,0 +1,135 @@
+"""Golden-trajectory parity for ANM6Easy (exercises the generator/storage
+projection path — the reference's cvxpy QPs vs our exact projections)."""
+
+import numpy as np
+import pytest
+
+from .conftest import requires_reference
+
+OBS_TOL = 1e-8
+
+
+def _rollout(env, seed, n_steps, action_seed):
+    obs, _ = env.reset(seed=seed)
+    env.action_space.seed(action_seed)
+    O, R, T = [obs], [], []
+    for _ in range(n_steps):
+        a = env.action_space.sample()
+        o, r, term, _, _ = env.step(a)
+        O.append(o)
+        R.append(r)
+        T.append(term)
+        if term:
+            o, _ = env.reset()
+            O.append(o)
+    return np.array(O[:n_steps]), np.array(R), np.array(T)
+
+
+@requires_reference
+def test_anm6easy_spaces(reference):
+    from gym_anm.envs.anm6_env.anm6_easy import ANM6Easy as RefEnv
+
+    from gym_anm_tpu.compat import ANM6Easy
+
+    ref, mine = RefEnv(), ANM6Easy()
+    np.testing.assert_array_equal(ref.action_space.low, mine.action_space.low)
+    np.testing.assert_array_equal(ref.action_space.high, mine.action_space.high)
+    np.testing.assert_array_equal(ref.observation_space.low, mine.observation_space.low)
+    np.testing.assert_array_equal(ref.observation_space.high, mine.observation_space.high)
+    # The canonical 96-step daily profiles, digit for digit.
+    np.testing.assert_array_equal(ref.P_loads, mine.P_loads)
+    np.testing.assert_array_equal(ref.P_maxs, mine.P_maxs)
+
+
+@requires_reference
+@pytest.mark.parametrize("seed,action_seed", [(11, 3), (2024, 0)])
+def test_anm6easy_golden_rollout(reference, seed, action_seed):
+    from gym_anm.envs.anm6_env.anm6_easy import ANM6Easy as RefEnv
+
+    from gym_anm_tpu.compat import ANM6Easy
+
+    O1, R1, T1 = _rollout(RefEnv(), seed, 60, action_seed)
+    O2, R2, T2 = _rollout(ANM6Easy(), seed, 60, action_seed)
+    np.testing.assert_allclose(O1, O2, atol=OBS_TOL)
+    np.testing.assert_allclose(R1, R2, atol=OBS_TOL)
+    np.testing.assert_array_equal(T1, T2)
+
+
+@requires_reference
+def test_renewable_env_golden_rollout(reference):
+    """IEEE33RenewableEnv drives everything off the GLOBAL numpy RNG."""
+    from gym_anm.envs.ieee33_env.ieee33_renewable_complete import (
+        IEEE33RenewableEnv as RefEnv,
+    )
+
+    from gym_anm_tpu.compat import IEEE33RenewableEnv
+
+    def run(cls, n=40):
+        np.random.seed(99)
+        env = cls()
+        obs, _ = env.reset(seed=5)
+        env.action_space.seed(1)
+        O, R = [obs], []
+        for _ in range(n):
+            a = env.action_space.sample()
+            o, r, term, _, _ = env.step(a)
+            O.append(o)
+            R.append(r)
+            assert not term
+        return np.array(O), np.array(R)
+
+    O1, R1 = run(RefEnv)
+    O2, R2 = run(IEEE33RenewableEnv)
+    assert O1.shape == O2.shape == (41, 72)  # 72-dim state quirk preserved
+    np.testing.assert_allclose(O1, O2, atol=OBS_TOL)
+    np.testing.assert_allclose(R1, R2, atol=OBS_TOL)
+
+
+@requires_reference
+def test_multicap_env_golden_rollout(reference):
+    from gym_anm.envs.ieee33_env.ieee33_multi_capacitor import (
+        IEEE33MultiCapacitorEnv as RefEnv,
+    )
+
+    from gym_anm_tpu.compat import IEEE33MultiCapacitorEnv
+
+    def run(cls, n=25):
+        np.random.seed(7)
+        env = cls()
+        assert env.action_space.shape == (17,)
+        obs, _ = env.reset(seed=3)
+        env.action_space.seed(2)
+        O, R = [obs], []
+        for _ in range(n):
+            o, r, term, _, _ = env.step(env.action_space.sample())
+            O.append(o)
+            R.append(r)
+            assert not term
+        return np.array(O), np.array(R)
+
+    O1, R1 = run(RefEnv)
+    O2, R2 = run(IEEE33MultiCapacitorEnv)
+    np.testing.assert_allclose(O1, O2, atol=OBS_TOL)
+    np.testing.assert_allclose(R1, R2, atol=OBS_TOL)
+
+
+def test_unequal_caps_env_is_functional():
+    """The reference version of this env crashes on step() (it never
+    installs its 6-capacitor network); ours is fixed — verify the intended
+    behavior: 17-dim actions + switching-cost accounting."""
+    from gym_anm_tpu.compat import IEEE33UnequalCapacitorsEnv
+
+    np.random.seed(0)
+    env = IEEE33UnequalCapacitorsEnv()
+    assert env.action_space.shape == (17,)
+    assert len(env.capacitor_ids) == 6
+    assert env.capacitor_ratings == sorted(env.capacitor_ratings, reverse=True)
+    env.reset(seed=1)
+    a = env.action_space.sample()
+    o, r, term, _, info = env.step(a)
+    assert "switching_cost" in info and "total_switches" in info
+    # switching a capacitor by > 0.01 MVAr incurs a cost
+    a2 = a.copy()
+    a2[10:16] = env.action_space.high[10:16]
+    _, _, _, _, info2 = env.step(a2)
+    assert info2["switching_cost"] >= 0
