@@ -1,0 +1,211 @@
+"""Vectorized task definitions (pure-JAX init_state / next_vars hooks).
+
+Each factory returns a :class:`~gym_anm_tpu.vec.core.VecTask` describing one
+of the shipped tasks.  The MDP constants and stochastic processes mirror the
+compat environments; randomness comes from ``jax.random`` (the compat tier
+keeps numpy-RNG bit parity with the reference — these are the
+at-scale equivalents).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..networks import (
+    anm6_network,
+    create_multi_capacitor_network,
+    create_renewable_network,
+    create_unequal_capacitor_network,
+    ieee33_network,
+    two_bus_network,
+)
+from ..specs.network import load_network
+from .core import VecTask
+
+__all__ = [
+    "make_two_bus_task",
+    "make_ieee33_task",
+    "make_ieee33_renewable_task",
+    "make_ieee33_multicap_task",
+    "make_ieee33_unequal_task",
+    "make_anm6easy_task",
+]
+
+
+def make_two_bus_task():
+    """The 2-bus example env (examples/simple_env.py): random s0 in [0,1],
+    random load in [-10, 0], one useless aux variable in [0, 10)."""
+    spec = load_network(two_bus_network)
+    K = 1
+    n_s0 = spec.n_state + K
+    n_vars = spec.n_load + spec.n_gen + K
+
+    def init_state_fn(key, carry):
+        return jax.random.uniform(key, (n_s0,))
+
+    def next_vars_fn(key, s_t, carry, t):
+        k1, k2 = jax.random.split(key)
+        p_load = -10.0 * jax.random.uniform(k1, ())
+        aux = jax.random.randint(k2, (), 0, 10).astype(s_t.dtype)
+        return jnp.stack([p_load, aux]), carry
+
+    return VecTask(
+        network=two_bus_network, K=K, delta_t=0.25, gamma=0.9, lamb=100,
+        costs_clipping=(1, 100), init_state_fn=init_state_fn,
+        next_vars_fn=next_vars_fn, name="two_bus",
+    )
+
+
+def _ieee33_quirk_s0(spec, K):
+    """The base IEEE33 init state: per-unit p_min written into MW slots
+    (the reference quirk, ieee33.py:25-37)."""
+    n_dev = spec.n_dev
+    s0 = np.zeros(spec.n_state + K)
+    for k in range(n_dev):
+        if spec.dev_type[k] == 0:
+            continue
+        p = spec.p_min[k]
+        qp = spec.qp_ratio[k]
+        q = p * qp if not np.isnan(qp) else 0.0
+        s0[int(spec.dev_ids[k])] = p
+        s0[n_dev + int(spec.dev_ids[k])] = q
+    return s0
+
+
+def make_ieee33_task():
+    """Base IEEE33 voltage control: static grid, 3-dim action
+    [Q_cap8, Q_cap25, tap]."""
+    spec = load_network(ieee33_network)
+    K = 0
+    s0 = jnp.asarray(_ieee33_quirk_s0(spec, K))
+    n_vars = spec.n_load + spec.n_gen + K
+
+    def init_state_fn(key, carry):
+        return s0
+
+    def next_vars_fn(key, s_t, carry, t):
+        return jnp.zeros(n_vars, dtype=s_t.dtype), carry
+
+    return VecTask(
+        network=ieee33_network, K=K, delta_t=1.0, gamma=0.99, lamb=100,
+        costs_clipping=None, init_state_fn=init_state_fn,
+        next_vars_fn=next_vars_fn, name="ieee33",
+    )
+
+
+def _tiered_rates(n_branch):
+    """The per-reset branch-rate fix of the renewable envs
+    (ieee33_renewable_complete.py:245-262) — constant across resets, so a
+    static table here."""
+    idx = np.arange(n_branch)
+    return np.select(
+        [idx < 5, idx < 15, idx < 25], [1.2, 0.5, 0.3], default=0.2
+    ).astype(np.float64)
+
+
+def _make_renewable_family_task(network, name, load_scale=1.0, scenario="default"):
+    spec = load_network(network)
+    K = 0
+    n_s0 = spec.n_state + K
+    n_vars = spec.n_load + spec.n_gen + K
+    nominal_mw = jnp.asarray(np.abs(spec.p_min[spec.load_pos]) * spec.baseMVA)
+    delta_t = 1.0
+
+    scen_solar, scen_wind = {"high_renewable": (1.2, 1.2),
+                             "low_renewable": (0.5, 0.5)}.get(scenario, (1.0, 1.0))
+
+    def init_task_fn(key):
+        # task carry = hour of day
+        return jax.random.uniform(key, ()) * 24.0
+
+    def init_state_fn(key, carry):
+        return jax.random.normal(key, (n_s0,)) * 0.001
+
+    def next_vars_fn(key, s_t, hour, t):
+        # The reference advances the clock by delta_t/3600 h per step before
+        # sampling; renewable potentials stay at ZERO (the quirk the
+        # controller hierarchy was tuned against).
+        hour = (hour + delta_t / 3600.0) % 24.0
+        time_factor = 0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)
+        noise = 1.0 + 0.02 * jax.random.normal(key, nominal_mw.shape)
+        loads = -nominal_mw.astype(s_t.dtype) * load_scale * time_factor * noise
+        vars = jnp.zeros(n_vars, dtype=s_t.dtype).at[: spec.n_load].set(loads)
+        return vars, hour
+
+    return VecTask(
+        network=network, K=K, delta_t=delta_t, gamma=0.99, lamb=100,
+        costs_clipping=None, init_state_fn=init_state_fn,
+        next_vars_fn=next_vars_fn, init_task_fn=init_task_fn,
+        rates=_tiered_rates(spec.n_branch), name=name,
+    )
+
+
+def make_ieee33_renewable_task(load_scale=1.0, scenario="default"):
+    """IEEE33 + 5 renewables, 13-dim actions, diurnal loads."""
+    return _make_renewable_family_task(
+        create_renewable_network(), "ieee33_renewable", load_scale, scenario
+    )
+
+
+def make_ieee33_multicap_task(load_scale=1.0, scenario="default"):
+    """IEEE33 + renewables + 6 capacitors, 17-dim actions."""
+    return _make_renewable_family_task(
+        create_multi_capacitor_network(), "ieee33_multicap", load_scale, scenario
+    )
+
+
+def make_ieee33_unequal_task(load_scale=1.0, scenario="default"):
+    """IEEE33 + renewables + 6 unequal capacitors, 17-dim actions.
+    (Switching costs are a wrapper-level concern; see vec rollout helpers.)"""
+    return _make_renewable_family_task(
+        create_unequal_capacitor_network(), "ieee33_unequal", load_scale, scenario
+    )
+
+
+def make_anm6easy_task():
+    """The ANM6Easy task: fixed 96-step daily profiles, K=1 time-of-day aux,
+    Δt = 15 min (anm6_easy.py:11-65)."""
+    from ..compat.anm6_easy import _get_gen_time_series, _get_load_time_series
+
+    spec = load_network(anm6_network)
+    K = 1
+    P_loads = jnp.asarray(_get_load_time_series())  # [3, 96]
+    P_maxs = jnp.asarray(_get_gen_time_series())    # [2, 96]
+    n_steps_day = 96
+    n_dev, n_des, n_gen = spec.n_dev, spec.n_des, spec.n_gen
+
+    q_min_gen = spec.q_min[spec.gen_nonslack_pos] * spec.baseMVA
+    q_max_gen = spec.q_max[spec.gen_nonslack_pos] * spec.baseMVA
+    soc_min = spec.soc_min[spec.des_pos] * spec.baseMVA
+    soc_max = spec.soc_max[spec.des_pos] * spec.baseMVA
+
+    def init_state_fn(key, carry):
+        k_t, k_q, k_soc = jax.random.split(key, 3)
+        t0 = jax.random.randint(k_t, (), 0, n_steps_day)
+        s = jnp.zeros(2 * n_dev + n_des + n_gen + K)
+        # loads at devices 1,3,5; gens at 2,4; DES at 6 (ANM6 layout)
+        loads = P_loads[:, t0]
+        s = s.at[jnp.array([1, 3, 5])].set(loads)
+        s = s.at[jnp.array([1 + n_dev, 3 + n_dev, 5 + n_dev])].set(loads * 0.2)
+        gens = P_maxs[:, t0]
+        s = s.at[jnp.array([2, 4])].set(gens)
+        q = q_min_gen + jax.random.uniform(k_q, (n_gen,)) * (q_max_gen - q_min_gen)
+        s = s.at[jnp.array([2 + n_dev, 4 + n_dev])].set(q)
+        soc = soc_min + jax.random.uniform(k_soc, (n_des,)) * (soc_max - soc_min)
+        s = s.at[2 * n_dev : 2 * n_dev + n_des].set(soc)
+        s = s.at[2 * n_dev + n_des : 2 * n_dev + n_des + n_gen].set(gens)
+        s = s.at[-1].set(t0.astype(s.dtype))
+        return s
+
+    def next_vars_fn(key, s_t, carry, t):
+        aux = jnp.mod(s_t[-1] + 1, n_steps_day).astype(jnp.int32)
+        vars = jnp.concatenate(
+            [P_loads[:, aux], P_maxs[:, aux], jnp.array([aux], dtype=P_loads.dtype)]
+        ).astype(s_t.dtype)
+        return vars, carry
+
+    return VecTask(
+        network=anm6_network, K=K, delta_t=0.25, gamma=0.995, lamb=100,
+        costs_clipping=(1, 100), init_state_fn=init_state_fn,
+        next_vars_fn=next_vars_fn, name="anm6easy",
+    )

@@ -1,0 +1,104 @@
+"""Vectorized environment tier: batching, rollouts, f32 viability, and
+statistical agreement with the compat tier."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.vec import (
+    VecEnv,
+    make_anm6easy_task,
+    make_ieee33_multicap_task,
+    make_ieee33_renewable_task,
+    make_ieee33_task,
+    make_two_bus_task,
+)
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [make_two_bus_task, make_ieee33_task, make_ieee33_renewable_task,
+     make_ieee33_multicap_task, make_anm6easy_task],
+)
+def test_reset_step_shapes(factory):
+    env = VecEnv(factory(), dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    assert obs.shape == (env.n_state,)
+    assert not bool(state.terminated)
+    action = env.random_policy()(jax.random.PRNGKey(1), obs, 0)
+    assert action.shape == (env.n_action,)
+    state2, obs2, r, done, info = env.step(state, action)
+    assert np.isfinite(float(r))
+    assert obs2.shape == obs.shape
+
+
+def test_vmap_batched_rollout_f64():
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float64)
+    B, T = 32, 20
+    keys = jax.random.split(jax.random.PRNGKey(42), B)
+    state, obs = jax.vmap(env.reset)(keys)
+    assert obs.shape == (B, env.n_state)
+
+    policy = env.random_policy()
+    rollout = jax.jit(lambda s: jax.vmap(lambda st: env.rollout(st, policy, T))(s))
+    final, (obs_t, act_t, rew_t, done_t) = rollout(state)
+    assert rew_t.shape == (B, T)
+    assert np.isfinite(np.asarray(rew_t)).all()
+
+
+def test_f32_nr_converges_on_ieee33():
+    """float32 must reach the 1e-5 NR tolerance on the IEEE33 task — the
+    precondition for the TPU throughput path."""
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    B, T = 64, 30
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, obs = jax.vmap(env.reset)(keys)
+    policy = env.random_policy()
+
+    lo, hi = env.action_low, env.action_high
+
+    def body(carry, t):
+        st, obs = carry
+        k = jax.random.fold_in(jax.random.PRNGKey(17), t)
+        acts = lo + jax.random.uniform(k, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+        st, obs, r, d, info = jax.vmap(env.step_autoreset)(st, acts)
+        return (st, obs), (d, info["n_iter"], info["diff"])
+
+    (state, _), (dones, n_iter, diff) = jax.lax.scan(body, (state, obs), jnp.arange(T))
+    dones = np.asarray(dones)
+    # No lane should diverge on this task in f32.
+    assert dones.sum() == 0, f"{dones.sum()} terminations in f32"
+    assert np.asarray(diff).max() <= 1e-5 + 1e-9
+
+
+def test_vec_vs_compat_reward_statistics():
+    """The vec IEEE33 task is deterministic given actions — cross-check a
+    full trajectory against the compat env under identical actions."""
+    from gym_anm_tpu.compat import IEEE33Env
+
+    env_c = IEEE33Env()
+    obs_c, _ = env_c.reset(seed=0)
+    env_v = VecEnv(make_ieee33_task(), dtype=jnp.float64)
+    state_v, obs_v = env_v.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(obs_v), obs_c, atol=1e-9)
+
+    rng = np.random.default_rng(5)
+    lo, hi = np.asarray(env_v.action_low), np.asarray(env_v.action_high)
+    for _ in range(20):
+        a = rng.uniform(lo, hi)
+        obs_c, r_c, term_c, _, _ = env_c.step(a)
+        state_v, obs_v, r_v, done_v, _ = env_v.step(state_v, jnp.asarray(a))
+        assert not term_c and not bool(done_v)
+        np.testing.assert_allclose(float(r_v), r_c, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(obs_v), obs_c, atol=1e-9)
+
+
+def test_autoreset_resumes():
+    env = VecEnv(make_two_bus_task(), dtype=jnp.float64)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    policy = env.random_policy()
+    state, traj = env.rollout(state, policy, 50, autoreset=True)
+    obs_t, act_t, rew_t, done_t = traj
+    assert np.isfinite(np.asarray(rew_t)).all()
