@@ -1,0 +1,74 @@
+"""Headline benchmark: batched IEEE33 env-steps/s on one chip.
+
+Runs the full environment step — device projections, Y-bus build,
+Newton-Raphson AC load flow (xtol 1e-5), branch flows, reward, autoreset —
+for B parallel IEEE33 instances in lockstep under jit, with uniform-random
+actions, and reports steps/s.
+
+Baseline: the reference (halduaij/gym-anm) IEEE33Env.step() measures
+~122 steps/s single-core on this machine (scipy spsolve NR; measured
+2026-08-16, 50-step rollout) — see BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_STEPS_PER_S = 122.0  # reference IEEE33Env.step, 1 CPU core
+
+
+def main(batch=8192, n_steps=64, n_reps=3, dtype=jnp.float32):
+    from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+    env = VecEnv(make_ieee33_task(), dtype=dtype)
+    lo, hi = env.action_low, env.action_high
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+
+    def run(state, obs, seed):
+        def body(carry, t):
+            st, obs = carry
+            k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
+            acts = lo + jax.random.uniform(k, (batch, env.n_action), dtype=env.dtype) * (hi - lo)
+            st, obs, r, d, _ = jax.vmap(env.step_autoreset)(st, acts)
+            return (st, obs), r.sum()
+
+        (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))
+        return state, obs, rs.sum()
+
+    run_jit = jax.jit(run, static_argnames=(), donate_argnums=(0,))
+
+    # Warm-up (compile + one full pass).
+    state, obs, total = run_jit(state, obs, 0)
+    jax.block_until_ready(total)
+
+    t0 = time.perf_counter()
+    for rep in range(n_reps):
+        state, obs, total = run_jit(state, obs, rep + 1)
+    jax.block_until_ready(total)
+    elapsed = time.perf_counter() - t0
+
+    steps = batch * n_steps * n_reps
+    steps_per_s = steps / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "ieee33_env_steps_per_s_b8192_1chip",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    main(batch=batch)

@@ -1,0 +1,23 @@
+"""Policies: MPC DC-OPF agents and the IEEE33 controller hierarchy."""
+
+from .ieee33_controllers import (
+    CorrectedL0_Random,
+    CorrectedL1_Basic,
+    CorrectedL2_VoltageThreshold,
+    CorrectedL3_Coordinated,
+    CorrectedL4_Predictive,
+    CorrectedL5_Optimal,
+)
+from .mpc import MPCAgent, MPCAgentConstant, MPCAgentPerfect
+
+__all__ = [
+    "MPCAgent",
+    "MPCAgentConstant",
+    "MPCAgentPerfect",
+    "CorrectedL0_Random",
+    "CorrectedL1_Basic",
+    "CorrectedL2_VoltageThreshold",
+    "CorrectedL3_Coordinated",
+    "CorrectedL4_Predictive",
+    "CorrectedL5_Optimal",
+]

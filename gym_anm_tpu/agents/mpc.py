@@ -1,0 +1,291 @@
+"""MPC policies solving an N-stage DC Optimal Power Flow.
+
+Equivalent of the reference ``gym_anm/agents/mpc.py:8-441`` with the same
+formulation — DC assumptions (lossless lines, small angles, |V|≈1), stage
+variables {bus angles, device P}, constraints {DC flow equations from
+B = Im(Y_bus), pinned load forecasts, generator/storage bounds, potential
+caps, SoC recursion with split charge/discharge and efficiency, |θ|≤π,
+θ_slack=0}, objective Σᵢ γⁱ (Σ non-renewable-gen P + λ Σ max(0,|P_br|−β·rate)).
+
+The piecewise-linear objective is epigraph-reformulated and the whole
+program solved as a single LP with scipy's HiGHS instead of cvxpy/ECOS —
+no compiled convex-solver dependency.  Stage-0 P set-points for non-slack
+generators and DES units are returned (Q = 0), scaled to MW and clipped to
+the action space.
+"""
+
+import numpy as np
+from scipy.optimize import linprog
+from scipy.sparse import coo_matrix
+
+from ..specs.constants import DEV_TYPE_LOAD, DEV_TYPE_STORAGE
+
+
+class MPCAgent:
+    """Base N-stage DC-OPF agent; subclasses implement :meth:`forecast`."""
+
+    def __init__(self, simulator, action_space, gamma, safety_margin=0.9, planning_steps=1):
+        self.safety_margin = safety_margin
+        self.baseMVA = simulator.baseMVA
+        self.lamb = simulator.lamb
+        self.action_space = action_space
+        self.planning_steps = planning_steps
+        self.gamma = gamma
+
+        self.n_bus = simulator.N_bus
+        self.n_dev = simulator.N_device
+        self.n_branch = len(simulator.branches)
+        self.delta_t = simulator.delta_t
+        self.n_gen = simulator.N_non_slack_gen + 1
+        self.n_des = simulator.N_des
+        self.n_load = simulator.N_load
+
+        devs = simulator.devices
+        self.load_ids = [i for i, d in devs.items() if d.type == DEV_TYPE_LOAD]
+        self.gen_ids = [i for i, d in devs.items() if d.type in (0, 1, 2)]
+        self.non_slack_gen_ids = [i for i, d in devs.items() if d.type in (1, 2)]
+        self.gen_rer_ids = [i for i, d in devs.items() if d.type == 2]
+        self.des_ids = [i for i, d in devs.items() if d.type == DEV_TYPE_STORAGE]
+        self.branch_ids = list(simulator.branches.keys())
+        self.device_ids = list(devs.keys())
+        self.bus_ids = list(simulator.buses.keys())
+        self.slack_dev_id = [
+            i for i in self.device_ids
+            if i not in self.des_ids and i not in self.non_slack_gen_ids and i not in self.load_ids
+        ][0]
+
+        self.dev_to_bus = {i: d.bus_id for i, d in devs.items()}
+        self.bus_id_mapping = {bus_id: k for k, bus_id in enumerate(simulator.buses.keys())}
+        self.dev_id_mapping = {dev_id: k for k, dev_id in enumerate(devs.keys())}
+
+        bus_rows = [self.bus_id_mapping[i] for i in self.bus_ids]
+        self.B_bus = simulator.Y_bus.imag[bus_rows, :][:, bus_rows].toarray()
+        self.branch_rate = [br.rate for br in simulator.branches.values()]
+        self.P_gen_min = [devs[i].p_min for i in self.non_slack_gen_ids]
+        self.P_gen_max = [devs[i].p_max for i in self.non_slack_gen_ids]
+        self.P_des_min = [devs[i].p_min for i in self.des_ids]
+        self.P_des_max = [devs[i].p_max for i in self.des_ids]
+        self.soc_min = [devs[i].soc_min for i in self.des_ids]
+        self.soc_max = [devs[i].soc_max for i in self.des_ids]
+        self.des_eff = [devs[i].eff for i in self.des_ids]
+
+        # Cached LP variable layout (per stage):
+        # [theta (n_bus), P_dev (n_dev), pch (n_des), pdis (n_des),
+        #  soc (n_des), t_br (n_branch)]
+        self._stage_n = self.n_bus + self.n_dev + 3 * self.n_des + self.n_branch
+        # Solution cache for tests/inspection.
+        self.last_solution = None
+
+    # ------------------------------------------------------------------
+    def act(self, env):
+        """Solve the N-stage DC OPF and return the stage-0 action."""
+        P_load_forecasts, P_gen_forecasts = self.forecast(env)
+        a = self._solve(env.simulator, P_load_forecasts, P_gen_forecasts)
+        return np.clip(a, self.action_space.low, self.action_space.high)
+
+    def forecast(self, env):
+        """Return (P_load [n_load, N], P_gen_max [n_gen-1, N]) in p.u."""
+        raise NotImplementedError()
+
+    # ------------------------------------------------------------------
+    def _stage_offsets(self, stage):
+        base = stage * self._stage_n
+        o = {}
+        o["theta"] = base
+        o["P"] = base + self.n_bus
+        o["pch"] = o["P"] + self.n_dev
+        o["pdis"] = o["pch"] + self.n_des
+        o["soc"] = o["pdis"] + self.n_des
+        o["t"] = o["soc"] + self.n_des
+        return o
+
+    def _solve(self, simulator, load_forecasts, gen_forecasts):
+        N = self.planning_steps
+        n_var = N * self._stage_n
+        load_forecasts = np.asarray(load_forecasts, dtype=float)
+        gen_forecasts = np.asarray(gen_forecasts, dtype=float)
+        init_soc = np.array(
+            [simulator.state["des_soc"]["pu"][i] for i in self.des_ids], dtype=float
+        )
+
+        c = np.zeros(n_var)
+        lb = np.full(n_var, -np.inf)
+        ub = np.full(n_var, np.inf)
+        eq_rows, eq_cols, eq_vals, eq_rhs = [], [], [], []
+        ub_rows, ub_cols, ub_vals, ub_rhs = [], [], [], []
+        n_eq = 0
+        n_ub = 0
+
+        bm = self.bus_id_mapping
+        dm = self.dev_id_mapping
+        slack_theta_idx = dm[self.slack_dev_id]  # reference quirk (mpc.py:302)
+
+        for s in range(N):
+            o = self._stage_offsets(s)
+            disc = self.gamma**s
+
+            # Objective: non-renewable generator P + λ·branch-overflow slack.
+            for g in self.gen_ids:
+                if g not in self.gen_rer_ids:
+                    c[o["P"] + dm[g]] += disc
+            for k in range(self.n_branch):
+                c[o["t"] + k] += disc * self.lamb
+
+            # Bounds: |theta| <= pi, theta_slack = 0 (via bounds).
+            lb[o["theta"] : o["theta"] + self.n_bus] = -np.pi
+            ub[o["theta"] : o["theta"] + self.n_bus] = np.pi
+            lb[o["theta"] + slack_theta_idx] = 0.0
+            ub[o["theta"] + slack_theta_idx] = 0.0
+
+            # Load P pinned to the forecast.
+            for li, l in enumerate(self.load_ids):
+                lb[o["P"] + dm[l]] = load_forecasts[li, s]
+                ub[o["P"] + dm[l]] = load_forecasts[li, s]
+
+            # Generator bounds + potential cap.
+            for gi, g in enumerate(self.non_slack_gen_ids):
+                lb[o["P"] + dm[g]] = self.P_gen_min[gi]
+                ub[o["P"] + dm[g]] = min(self.P_gen_max[gi], gen_forecasts[gi, s])
+
+            # DES bounds; pch/pdis >= 0; soc bounds.
+            for di, d in enumerate(self.des_ids):
+                lb[o["P"] + dm[d]] = self.P_des_min[di]
+                ub[o["P"] + dm[d]] = self.P_des_max[di]
+                lb[o["pch"] + di] = 0.0
+                lb[o["pdis"] + di] = 0.0
+                lb[o["soc"] + di] = self.soc_min[di]
+                ub[o["soc"] + di] = self.soc_max[di]
+
+            # t_br >= 0.
+            lb[o["t"] : o["t"] + self.n_branch] = 0.0
+
+            # DC power balance per bus: sum_branches B_ij (θ_i − θ_j)
+            # incident to bus i equals the bus's device-P total.
+            for i in self.bus_ids:
+                row = n_eq
+                n_eq += 1
+                for (j, k) in self.branch_ids:
+                    l, m = bm[j], bm[k]
+                    if j == i:
+                        b = self.B_bus[l, m]
+                        eq_rows += [row, row]
+                        eq_cols += [o["theta"] + l, o["theta"] + m]
+                        eq_vals += [b, -b]
+                    elif k == i:
+                        b = self.B_bus[m, l]
+                        eq_rows += [row, row]
+                        eq_cols += [o["theta"] + m, o["theta"] + l]
+                        eq_vals += [b, -b]
+                for d in self.device_ids:
+                    if self.dev_to_bus[d] == i:
+                        eq_rows.append(row)
+                        eq_cols.append(o["P"] + dm[d])
+                        eq_vals.append(-1.0)
+                eq_rhs.append(0.0)
+
+            # P_des = pdis − pch.
+            for di, d in enumerate(self.des_ids):
+                row = n_eq
+                n_eq += 1
+                eq_rows += [row, row, row]
+                eq_cols += [o["P"] + dm[d], o["pdis"] + di, o["pch"] + di]
+                eq_vals += [1.0, -1.0, 1.0]
+                eq_rhs.append(0.0)
+
+            # SoC recursion: soc_s − soc_{s−1} − ηΔt·pch + Δt/η·pdis = 0.
+            for di in range(self.n_des):
+                row = n_eq
+                n_eq += 1
+                eq_rows += [row, row, row]
+                eq_cols += [o["soc"] + di, o["pch"] + di, o["pdis"] + di]
+                eq_vals += [1.0, -self.delta_t * self.des_eff[di], self.delta_t / self.des_eff[di]]
+                if s == 0:
+                    eq_rhs.append(init_soc[di])
+                else:
+                    prev = self._stage_offsets(s - 1)
+                    eq_rows.append(row)
+                    eq_cols.append(prev["soc"] + di)
+                    eq_vals.append(-1.0)
+                    eq_rhs.append(0.0)
+
+            # Branch-overflow epigraph: ±B_ij(θ_i − θ_j) − t ≤ β·rate.
+            for k, (i, j) in enumerate(self.branch_ids):
+                rate = self.branch_rate[k]
+                if not np.isfinite(rate):
+                    continue
+                l, m = bm[i], bm[j]
+                b = self.B_bus[l, m]
+                for sign in (1.0, -1.0):
+                    row = n_ub
+                    n_ub += 1
+                    ub_rows += [row, row, row]
+                    ub_cols += [o["theta"] + l, o["theta"] + m, o["t"] + k]
+                    ub_vals += [sign * b, -sign * b, -1.0]
+                    ub_rhs.append(self.safety_margin * rate)
+
+        A_eq = coo_matrix((eq_vals, (eq_rows, eq_cols)), shape=(n_eq, n_var))
+        A_ub = (
+            coo_matrix((ub_vals, (ub_rows, ub_cols)), shape=(n_ub, n_var))
+            if n_ub
+            else None
+        )
+
+        res = linprog(
+            c,
+            A_eq=A_eq,
+            b_eq=np.array(eq_rhs),
+            A_ub=A_ub,
+            b_ub=np.array(ub_rhs) if n_ub else None,
+            bounds=np.stack([lb, ub], axis=1),
+            method="highs",
+        )
+        if not res.success:
+            print("OPF problem is " + res.message)
+            # Idle fallback.
+            return np.zeros(2 * len(self.non_slack_gen_ids) + 2 * len(self.des_ids))
+
+        x = res.x
+        o0 = self._stage_offsets(0)
+        self.last_solution = {
+            "x": x,
+            "theta": [x[self._stage_offsets(s)["theta"] : self._stage_offsets(s)["theta"] + self.n_bus] for s in range(N)],
+            "P_dev": [x[self._stage_offsets(s)["P"] : self._stage_offsets(s)["P"] + self.n_dev] for s in range(N)],
+            "soc": [x[self._stage_offsets(s)["soc"] : self._stage_offsets(s)["soc"] + self.n_des] for s in range(N)],
+        }
+
+        P_gen = [x[o0["P"] + dm[d]] * self.baseMVA for d in self.non_slack_gen_ids]
+        P_des = [x[o0["P"] + dm[d]] * self.baseMVA for d in self.des_ids]
+        Q_gen = [0.0] * len(P_gen)
+        Q_des = [0.0] * len(P_des)
+        return np.concatenate((P_gen, Q_gen, P_des, Q_des))
+
+
+class MPCAgentConstant(MPCAgent):
+    """π_MPC-N^constant: current demand/generation held constant over the
+    horizon (mpc_constant.py:7-35)."""
+
+    def forecast(self, env):
+        full_state = env.simulator.state
+        P_load = [full_state["dev_p"]["pu"][i] for i in self.load_ids]
+        P_gen = [full_state["gen_p_max"]["pu"][i] for i in self.non_slack_gen_ids]
+        P_load = np.array([P_load for _ in range(self.planning_steps)]).T
+        P_gen = np.array([P_gen for _ in range(self.planning_steps)]).T
+        return P_load, P_gen
+
+
+class MPCAgentPerfect(MPCAgent):
+    """π_MPC-N^perfect: exact knowledge of ANM6Easy's fixed daily profiles
+    (mpc_perfect.py:7-40)."""
+
+    def forecast(self, env):
+        t_start = int(env.state[-1]) + 1
+        t_end = t_start + self.planning_steps
+        P_loads = env.P_loads
+        P_gen_pot = env.P_maxs
+        while t_end > P_loads.shape[1]:
+            P_loads = np.concatenate((P_loads, env.P_loads), axis=-1)
+            P_gen_pot = np.concatenate((P_gen_pot, env.P_maxs), axis=-1)
+        return (
+            P_loads[:, t_start:t_end] / self.baseMVA,
+            P_gen_pot[:, t_start:t_end] / self.baseMVA,
+        )

@@ -1,0 +1,15 @@
+"""Multi-device parallelism: env-farm sharding and on-device learners."""
+
+from .mesh import env_sharding, make_env_mesh, replicated, shard_env_state
+from .ppo import PPOConfig, TrainState, init_train_state, make_train_step
+
+__all__ = [
+    "make_env_mesh",
+    "env_sharding",
+    "replicated",
+    "shard_env_state",
+    "PPOConfig",
+    "TrainState",
+    "init_train_state",
+    "make_train_step",
+]

@@ -1,0 +1,198 @@
+"""Data-parallel PPO learner over a sharded environment farm.
+
+The whole training step — on-device rollout of the sharded env batch,
+generalized-advantage estimation, and a clipped-surrogate PPO update — is a
+single jitted function.  The env batch is sharded over the mesh's ``env``
+axis; parameters are replicated, so GSPMD lowers the mean-gradient
+reductions to ``psum`` collectives over ICI.  No reference counterpart
+exists (the reference has no learner); this is a new first-class component
+per SURVEY.md §5.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..vec.core import VecEnv
+
+
+class PPOConfig(NamedTuple):
+    hidden: int = 64
+    lr: float = 3e-4
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    rollout_len: int = 16
+
+
+def init_params(key, obs_dim, act_dim, hidden=64, dtype=jnp.float32):
+    """A small MLP actor-critic: two hidden layers, Gaussian policy head."""
+    k = jax.random.split(key, 6)
+
+    def dense(key, n_in, n_out):
+        w = jax.random.normal(key, (n_in, n_out), dtype) * jnp.sqrt(2.0 / n_in).astype(dtype)
+        return {"w": w, "b": jnp.zeros((n_out,), dtype)}
+
+    return {
+        "pi1": dense(k[0], obs_dim, hidden),
+        "pi2": dense(k[1], hidden, hidden),
+        "mu": dense(k[2], hidden, act_dim),
+        "v1": dense(k[3], obs_dim, hidden),
+        "v2": dense(k[4], hidden, hidden),
+        "v": dense(k[5], hidden, 1),
+        "log_std": jnp.zeros((act_dim,), dtype),
+    }
+
+
+def _mlp(params, names, x):
+    for n in names[:-1]:
+        x = jnp.tanh(x @ params[n]["w"] + params[n]["b"])
+    last = params[names[-1]]
+    return x @ last["w"] + last["b"]
+
+
+def policy_dist(params, obs):
+    mu = _mlp(params, ("pi1", "pi2", "mu"), obs)
+    return mu, jnp.exp(params["log_std"])
+
+
+def value_fn(params, obs):
+    return _mlp(params, ("v1", "v2", "v"), obs)[..., 0]
+
+
+def sample_action(params, key, obs, act_low, act_high):
+    mu, std = policy_dist(params, obs)
+    a = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+    return jnp.clip(a, act_low, act_high)
+
+
+def log_prob(params, obs, act):
+    mu, std = policy_dist(params, obs)
+    z = (act - mu) / std
+    return jnp.sum(-0.5 * z * z - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
+
+
+def gae(rewards, values, dones, gamma, lam):
+    """Generalized advantage estimation along the time axis (axis 0)."""
+
+    def body(carry, xs):
+        adv_next, v_next = carry
+        r, v, d = xs
+        nonterminal = 1.0 - d
+        delta = r + gamma * v_next * nonterminal - v
+        adv = delta + gamma * lam * nonterminal * adv_next
+        return (adv, v), adv
+
+    (_, _), advs = jax.lax.scan(
+        body,
+        (jnp.zeros_like(values[-1]), values[-1]),
+        (rewards, values, dones),
+        reverse=True,
+    )
+    return advs
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_m: dict
+    opt_v: dict
+    step: jax.Array
+
+
+def init_train_state(key, obs_dim, act_dim, cfg: PPOConfig, dtype=jnp.float32):
+    params = init_params(key, obs_dim, act_dim, cfg.hidden, dtype)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(params=params, opt_m=zeros,
+                      opt_v=jax.tree_util.tree_map(jnp.zeros_like, params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def adam_update(ts: TrainState, grads, lr, b1=0.9, b2=0.999, eps=1e-8):
+    step = ts.step + 1
+    m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, ts.opt_m, grads)
+    v = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, ts.opt_v, grads)
+    t = step.astype(jnp.float32)
+    mhat = jax.tree_util.tree_map(lambda m: m / (1 - b1**t), m)
+    vhat = jax.tree_util.tree_map(lambda v: v / (1 - b2**t), v)
+    params = jax.tree_util.tree_map(
+        lambda p, mh, vh: p - lr * mh / (jnp.sqrt(vh) + eps), ts.params, mhat, vhat
+    )
+    return TrainState(params=params, opt_m=m, opt_v=v, step=step)
+
+
+def make_train_step(env: VecEnv, cfg: PPOConfig):
+    """Build the full jitted PPO training step:
+
+        (TrainState, batched EnvState, batched obs) -> (TrainState', EnvState',
+        obs', metrics)
+
+    All per-lane inputs shard over the ``env`` mesh axis; parameters are
+    replicated — annotate with NamedShardings at the call site and jit.
+    """
+    act_low, act_high = env.action_low, env.action_high
+
+    def rollout(params, state, obs):
+        def body(carry, t):
+            st, obs = carry
+            k_act, key = jax.random.split(st.key)
+            action = sample_action(params, k_act, obs, act_low, act_high)
+            st = st._replace(key=key)
+            st, obs2, r, d, _ = env.step_autoreset(st, action)
+            return (st, obs2), (obs, action, r.astype(jnp.float32), d.astype(jnp.float32))
+
+        (st, obs), traj = jax.lax.scan(body, (state, obs), jnp.arange(cfg.rollout_len))
+        return st, obs, traj
+
+    def train_step(ts: TrainState, state, obs):
+        # 1. On-device rollout (vmapped over the sharded lane axis).
+        state2, obs2, traj = jax.vmap(
+            lambda s, o: rollout(ts.params, s, o), in_axes=0, out_axes=0
+        )(state, obs)
+        obs_t, act_t, rew_t, done_t = traj  # [B, T, ...]
+        obs_T = jnp.swapaxes(obs_t, 0, 1)   # [T, B, obs]
+        act_T = jnp.swapaxes(act_t, 0, 1)
+        rew_T = jnp.swapaxes(rew_t, 0, 1)
+        done_T = jnp.swapaxes(done_t, 0, 1)
+
+        # Normalize rewards to a sane scale for the critic (grid penalties
+        # can be O(1e2)); scale is static.
+        rew_T = rew_T / 100.0
+
+        # 2. Advantages.
+        values = value_fn(ts.params, obs_T)
+        adv = gae(rew_T, values, done_T, cfg.gamma, cfg.lam)
+        returns = adv + values
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        old_logp = log_prob(ts.params, obs_T, act_T)
+
+        # 3. Clipped-surrogate PPO loss over the whole batch (the mean
+        # couples lanes -> GSPMD inserts the cross-device reductions).
+        def loss_fn(params):
+            logp = log_prob(params, obs_T, act_T)
+            ratio = jnp.exp(logp - old_logp)
+            unclipped = ratio * adv
+            clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+            pg_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+            v = value_fn(params, obs_T)
+            v_loss = jnp.mean((v - returns) ** 2)
+            ent = jnp.sum(params["log_std"] + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+            return pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent, (pg_loss, v_loss)
+
+        (loss, (pg_loss, v_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        ts = adam_update(ts, grads, cfg.lr)
+
+        metrics = {
+            "loss": loss,
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "mean_reward": rew_T.mean() * 100.0,
+            "done_rate": done_T.mean(),
+        }
+        return ts, state2, obs2, metrics
+
+    return train_step

@@ -1,0 +1,190 @@
+"""Controller hierarchy, heuristic expert zoo, offline utils, MPC agents."""
+
+import numpy as np
+import pytest
+
+from gym_anm_tpu.agents import (
+    CorrectedL0_Random,
+    CorrectedL1_Basic,
+    CorrectedL2_VoltageThreshold,
+    CorrectedL3_Coordinated,
+    CorrectedL4_Predictive,
+    CorrectedL5_Optimal,
+    MPCAgentConstant,
+)
+from gym_anm_tpu.compat import IEEE33Env, IEEE33RenewableEnv
+from gym_anm_tpu.offline import (
+    DoNothingHeuristic,
+    HysteresisCapBankHeuristic,
+    SimpleCapBankExpert,
+    behavior_cloning,
+    evaluate_policy,
+    generate_dataset,
+    generate_mixed_dataset,
+)
+
+from .conftest import requires_reference
+
+CONTROLLERS = [
+    CorrectedL0_Random,
+    CorrectedL1_Basic,
+    CorrectedL2_VoltageThreshold,
+    CorrectedL3_Coordinated,
+    CorrectedL4_Predictive,
+    CorrectedL5_Optimal,
+]
+
+
+@pytest.fixture(scope="module")
+def renewable_env():
+    np.random.seed(0)
+    return IEEE33RenewableEnv()
+
+
+def test_hierarchy_runs_and_returns(renewable_env):
+    env = renewable_env
+    returns = {}
+    for cls in CONTROLLERS:
+        np.random.seed(1)
+        env.reset(seed=1)
+        agent = cls(env)
+        total = 0.0
+        for _ in range(15):
+            a = agent.act(env)
+            a = np.clip(a, env.action_space.low, env.action_space.high)
+            _, r, term, _, _ = env.step(a)
+            total += r
+            if term:
+                break
+        returns[cls.__name__] = total
+        assert np.isfinite(total)
+    # The informed controllers must beat random by a wide margin.
+    informed_best = max(v for k, v in returns.items() if "L0" not in k)
+    assert informed_best > returns["CorrectedL0_Random"]
+
+
+@requires_reference
+@pytest.mark.parametrize("idx", [1, 2, 3, 4, 5])
+def test_hierarchy_matches_reference_actions(reference, idx):
+    """Same simulator state -> same action as the reference controller
+    (L1-L5 are deterministic given the state and internal timers)."""
+    import gym_anm.agents.ieee33_controllers.discrete_hierarchy as ref_dh
+
+    ref_classes = [
+        ref_dh.CorrectedL0_Random,
+        ref_dh.CorrectedL1_Basic,
+        ref_dh.CorrectedL2_VoltageThreshold,
+        ref_dh.CorrectedL3_Coordinated,
+        ref_dh.CorrectedL4_Predictive,
+        ref_dh.CorrectedL5_Optimal,
+    ]
+
+    np.random.seed(3)
+    env = IEEE33RenewableEnv()
+    env.reset(seed=3)
+    mine = CONTROLLERS[idx](env)
+    theirs = ref_classes[idx](env)
+
+    rng = np.random.default_rng(0)
+    for step in range(10):
+        a_mine = mine.act(env)
+        a_ref = theirs.act(env)
+        np.testing.assert_allclose(a_mine, a_ref, atol=1e-12)
+        a = np.clip(a_mine, env.action_space.low, env.action_space.high)
+        env.step(a)
+
+
+def test_generate_dataset_and_bc():
+    env = IEEE33Env()
+    agent = SimpleCapBankExpert(env)
+    states, actions = generate_dataset(env, agent, steps=12)
+    assert states.shape == (12, env.observation_space.shape[0])
+    assert actions.shape == (12, env.action_space.shape[0])
+
+    policy = behavior_cloning(states, actions, env.action_space)
+    a = policy(states[0])
+    assert a.shape == actions[0].shape
+    assert np.all(a >= env.action_space.low - 1e-12)
+    assert np.all(a <= env.action_space.high + 1e-12)
+
+    ret = evaluate_policy(env, policy, episodes=1, max_steps=3)
+    assert np.isfinite(ret)
+
+
+def test_generate_mixed_dataset_weights():
+    env = IEEE33Env()
+    a1 = DoNothingHeuristic(env)
+    a2 = HysteresisCapBankHeuristic(env)
+
+    np.random.seed(0)
+    s1, ac1 = generate_mixed_dataset(env, [a1, a2], steps=8, weights=[1.0, 0.0])
+    np.random.seed(0)
+    s2, ac2 = generate_dataset(env, a1, steps=8)
+    np.testing.assert_allclose(ac1, ac2)
+
+    with pytest.raises(ValueError):
+        generate_mixed_dataset(env, [a1, a2], steps=2, weights=[1.0])
+
+
+def test_mpc_constant_dc_opf_constraints():
+    """After each act(), the DC-OPF solution satisfies its own constraints
+    (the reference test strategy, tests/test_dcopf_agent.py:29-109)."""
+    from gym_anm_tpu.compat import ANM6Easy
+
+    env = ANM6Easy()
+    env.reset(seed=4)
+    agent = MPCAgentConstant(env.simulator, env.action_space, env.gamma,
+                             safety_margin=0.9, planning_steps=3)
+    for _ in range(5):
+        a = agent.act(env)
+        assert env.action_space.contains(a.astype(np.float64))
+        sol = agent.last_solution
+        B = agent.B_bus
+        for s in range(agent.planning_steps):
+            theta = sol["theta"][s]
+            P_dev = sol["P_dev"][s]
+            # DC flow equations: bus injections equal incident-flow sums.
+            for i in agent.bus_ids:
+                flow = 0.0
+                for (j, k) in agent.branch_ids:
+                    l, m = agent.bus_id_mapping[j], agent.bus_id_mapping[k]
+                    if j == i:
+                        flow += B[l, m] * (theta[l] - theta[m])
+                    elif k == i:
+                        flow += B[m, l] * (theta[m] - theta[l])
+                p_bus = sum(
+                    P_dev[agent.dev_id_mapping[d]]
+                    for d in agent.device_ids
+                    if agent.dev_to_bus[d] == i
+                )
+                assert abs(flow - p_bus) < 1e-7
+            # Bounds.
+            for gi, g in enumerate(agent.non_slack_gen_ids):
+                p = P_dev[agent.dev_id_mapping[g]]
+                assert agent.P_gen_min[gi] - 1e-9 <= p <= agent.P_gen_max[gi] + 1e-9
+            for di, d in enumerate(agent.des_ids):
+                p = P_dev[agent.dev_id_mapping[d]]
+                assert agent.P_des_min[di] - 1e-9 <= p <= agent.P_des_max[di] + 1e-9
+            soc = sol["soc"][s]
+            for di in range(agent.n_des):
+                assert agent.soc_min[di] - 1e-9 <= soc[di] <= agent.soc_max[di] + 1e-9
+            assert np.all(np.abs(theta) <= np.pi + 1e-9)
+            assert abs(theta[agent.dev_id_mapping[agent.slack_dev_id]]) < 1e-12
+        env.step(a)
+
+
+def test_mpc_reduces_losses_vs_max_dispatch():
+    """MPC should choose a dispatch with finite, sane rewards on ANM6Easy."""
+    from gym_anm_tpu.compat import ANM6Easy
+
+    env = ANM6Easy()
+    env.reset(seed=7)
+    agent = MPCAgentConstant(env.simulator, env.action_space, env.gamma,
+                             safety_margin=0.9, planning_steps=1)
+    total = 0.0
+    for _ in range(10):
+        _, r, term, _, _ = env.step(agent.act(env))
+        total += r
+        assert not term
+    assert np.isfinite(total)
+    assert total > -50  # random policy is typically far worse
