@@ -32,11 +32,14 @@ def main(batch=8192, n_steps=64, n_reps=3, dtype=jnp.float32):
     state, obs = jax.jit(jax.vmap(env.reset))(keys)
 
     def run(state, obs, seed):
+        # Plain step (no autoreset): random actions never diverge the IEEE33
+        # base task (verified in tests/test_vec_env.py), and keeping the
+        # reset program out of the scan body halves compile time.
         def body(carry, t):
             st, obs = carry
             k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
             acts = lo + jax.random.uniform(k, (batch, env.n_action), dtype=env.dtype) * (hi - lo)
-            st, obs, r, d, _ = jax.vmap(env.step_autoreset)(st, acts)
+            st, obs, r, d, _ = jax.vmap(env.step)(st, acts)
             return (st, obs), r.sum()
 
         (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))

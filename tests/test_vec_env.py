@@ -70,7 +70,9 @@ def test_f32_nr_converges_on_ieee33():
     dones = np.asarray(dones)
     # No lane should diverge on this task in f32.
     assert dones.sum() == 0, f"{dones.sum()} terminations in f32"
-    assert np.asarray(diff).max() <= 1e-5 + 1e-9
+    # Residuals reach xtol, except rare lanes that plateau at the f32
+    # rounding floor (accepted within 10x of xtol by the stagnation exit).
+    assert np.asarray(diff).max() <= 1e-4
 
 
 def test_vec_vs_compat_reward_statistics():
