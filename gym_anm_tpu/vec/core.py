@@ -39,6 +39,7 @@ class EnvState(NamedTuple):
     dev_p: jax.Array        # [n_dev] p.u. (for state/obs extraction)
     dev_q: jax.Array
     p_pot: jax.Array        # [n_gen] p.u.
+    bus_vm: jax.Array       # [n_bus] voltage magnitudes (controllers read these)
     aux: jax.Array          # [K]
     task: Any               # task-specific carry (e.g. hour-of-day)
     terminated: jax.Array   # bool
@@ -235,6 +236,7 @@ class VecEnv:
             dev_p=out.dev_p,
             dev_q=out.dev_q,
             p_pot=out.gen_p_pot,
+            bus_vm=jnp.sqrt(out.bus_v_re**2 + out.bus_v_im**2),
             aux=aux,
             task=task_carry,
             terminated=jnp.logical_not(out.stable),
@@ -279,6 +281,7 @@ class VecEnv:
             dev_p=out.dev_p,
             dev_q=out.dev_q,
             p_pot=out.gen_p_pot,
+            bus_vm=jnp.sqrt(out.bus_v_re**2 + out.bus_v_im**2),
             aux=aux.astype(self.dtype),
             task=task_carry,
             terminated=now_terminated,

@@ -1,0 +1,82 @@
+"""Vectorized controllers + on-device dataset generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.offline_vec import (
+    behavior_cloning_vec,
+    evaluate_controller_vec,
+    generate_dataset_vec,
+    generate_mixed_dataset_vec,
+)
+from gym_anm_tpu.vec import VecEnv, make_ieee33_renewable_task
+from gym_anm_tpu.vec.controllers import make_suite
+
+
+@pytest.fixture(scope="module")
+def renv():
+    return VecEnv(make_ieee33_renewable_task(), dtype=jnp.float64)
+
+
+def test_suite_runs_and_orders(renv):
+    """All six controllers roll out on-device; informed ones beat random."""
+    suite = make_suite(renv)
+    means = {}
+    for ctrl in suite:
+        m = evaluate_controller_vec(renv, ctrl, jax.random.PRNGKey(0), batch=16, steps=15)
+        assert np.isfinite(m), ctrl.name
+        means[ctrl.name] = m
+    informed = [v for k, v in means.items() if "L0" not in k]
+    assert max(informed) > means["L0_random"]
+
+
+def test_dataset_shapes(renv):
+    obs, act, rew, nobs, done = generate_dataset_vec(
+        renv, None, jax.random.PRNGKey(1), batch=8, steps=12
+    )
+    assert obs.shape == (12, 8, renv.n_state)
+    assert act.shape == (12, 8, renv.n_action)
+    assert rew.shape == (12, 8)
+    assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_mixed_dataset_and_bc(renv):
+    suite = make_suite(renv)[:3]
+    (obs, act, rew, nobs, done), assignment = generate_mixed_dataset_vec(
+        renv, suite, jax.random.PRNGKey(2), batch=8, steps=10, weights=[0.2, 0.4, 0.4]
+    )
+    assert assignment.shape == (8,)
+    assert act.shape == (10, 8, renv.n_action)
+
+    policy, w = behavior_cloning_vec(obs, act, renv.action_low, renv.action_high)
+    a = policy(obs[0, 0])
+    assert a.shape == (renv.n_action,)
+    assert np.all(np.asarray(a) >= np.asarray(renv.action_low) - 1e-9)
+
+    with pytest.raises(ValueError):
+        generate_mixed_dataset_vec(renv, suite, jax.random.PRNGKey(3), 4, 2, weights=[1.0])
+
+
+def test_vec_l1_matches_host_l1(renv):
+    """The vec L1 controller (deterministic) produces the host controller's
+    action given the same simulator state."""
+    import numpy as np
+
+    from gym_anm_tpu.agents import CorrectedL1_Basic
+    from gym_anm_tpu.compat import IEEE33RenewableEnv
+
+    np.random.seed(0)
+    host_env = IEEE33RenewableEnv()
+    host_env.reset(seed=0)
+    host_action = CorrectedL1_Basic(host_env).act(host_env)
+
+    # Build a matching vec state: copy p_pot from the host simulator.
+    suite = make_suite(renv)
+    l1 = suite[1]
+    state, obs = renv.reset(jax.random.PRNGKey(0))
+    p_pot_host = np.array([host_env.simulator.devices[i].p_pot for i in range(36, 41)])
+    state = state._replace(p_pot=jnp.asarray(p_pot_host))
+    action, _ = l1.act(jax.random.PRNGKey(1), state, obs, l1.init_carry(jax.random.PRNGKey(2)))
+    np.testing.assert_allclose(np.asarray(action), host_action, atol=1e-12)
