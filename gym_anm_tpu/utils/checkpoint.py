@@ -1,0 +1,86 @@
+"""Checkpoint / resume for environment farms and learners.
+
+The reference has no state serialization (SURVEY.md §5); its de-facto
+format is the flat state vector accepted by ``Simulator.reset``.  Here both
+are supported:
+
+* any :class:`~gym_anm_tpu.vec.core.EnvState` / learner ``TrainState`` is a
+  flat pytree, checkpointed with orbax (preemption-safe multi-host saves);
+* :func:`env_state_to_vector` / :func:`vector_to_env_state` convert between
+  EnvState and the reference's s0 layout, so a vec-farm lane can be
+  re-hydrated into a compat env (and vice versa).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _strip_empty(pytree):
+    """orbax rejects zero-size arrays (e.g. soc on a grid with no storage);
+    replace them with a placeholder and restore them structurally."""
+    return jax.tree_util.tree_map(
+        lambda x: None if hasattr(x, "size") and x.size == 0 else x,
+        pytree,
+        is_leaf=lambda x: hasattr(x, "size"),
+    )
+
+
+def save_checkpoint(path, pytree, step: int = 0):
+    """Save a pytree checkpoint with orbax."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(f"{path}/step_{step}", _strip_empty(pytree), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path, reference_pytree, step: int = 0):
+    """Restore a pytree checkpoint saved by :func:`save_checkpoint`.
+    Zero-size leaves are taken from ``reference_pytree``."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(f"{path}/step_{step}", _strip_empty(reference_pytree))
+    return jax.tree_util.tree_map(
+        lambda ref, r: ref if (hasattr(ref, "size") and ref.size == 0) else r,
+        reference_pytree,
+        jax.tree_util.tree_map(lambda x: x, restored),
+        is_leaf=lambda x: x is None or hasattr(x, "size"),
+    )
+
+
+def env_state_to_vector(env, state):
+    """EnvState -> the reference's flat s0 layout
+    [dev_p MW, dev_q MVAr, soc MWh, gen_p_max MW, aux] (anm_env.py:139-147)."""
+    return env._state_vector(state.dev_p, state.dev_q, state.soc, state.p_pot, state.aux)
+
+
+def vector_to_env_state(env, s0, key=None, oltc_tap=None):
+    """Re-hydrate an EnvState from a flat s0 vector by replaying the
+    simulator reset path (Simulator.reset semantics, simulator.py:245-316)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if oltc_tap is None:
+        oltc_tap = jnp.ones(env.spec.n_oltc, dtype=env.dtype)
+    s0 = jnp.asarray(s0, dtype=env.dtype)
+    (P_load, P_max, P_gen, Q_gen, P_des, Q_des, Q_cap,
+     soc_seed, soc_mwh, aux) = env._decode_s0(s0)
+    out = env._run_transition(P_load, P_max, P_gen, Q_gen, P_des, Q_des, Q_cap,
+                              oltc_tap, soc_seed)
+    from ..vec.core import EnvState
+
+    k_task, key = jax.random.split(key)
+    return EnvState(
+        key=key,
+        soc=soc_mwh / env.tables.baseMVA,
+        oltc_tap=out.oltc_tap,
+        dev_p=out.dev_p,
+        dev_q=out.dev_q,
+        p_pot=out.gen_p_pot,
+        bus_vm=jnp.sqrt(out.bus_v_re**2 + out.bus_v_im**2),
+        aux=aux,
+        task=env.task.init_task_fn(k_task),
+        terminated=jnp.logical_not(out.stable),
+        t=jnp.zeros((), jnp.int32),
+    )

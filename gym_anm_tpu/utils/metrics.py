@@ -1,0 +1,80 @@
+"""On-device metric accumulators and host logging.
+
+The reference's observability is prints + the browser renderer (SURVEY.md
+§5).  Here metrics accumulate on device inside the jitted rollout (no host
+sync per step) and are reduced across the mesh with ``psum`` semantics via
+plain means (GSPMD inserts the collectives); host logging goes through
+``jax.debug.callback`` so it works inside jit.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RolloutMetrics(NamedTuple):
+    steps: jax.Array           # total env-steps accumulated
+    reward_sum: jax.Array
+    e_loss_sum: jax.Array
+    penalty_sum: jax.Array
+    violation_steps: jax.Array  # steps with nonzero constraint penalty
+    terminations: jax.Array
+    nr_iter_sum: jax.Array      # total Newton-Raphson iterations
+
+    @classmethod
+    def zero(cls, dtype=jnp.float32):
+        z = jnp.zeros((), dtype)
+        return cls(z, z, z, z, z, z, z)
+
+    def update(self, reward, done, info):
+        add = lambda a, x: a + jnp.sum(x.astype(a.dtype))
+        count = jnp.asarray(reward).size
+        return RolloutMetrics(
+            steps=self.steps + count,
+            reward_sum=add(self.reward_sum, reward),
+            e_loss_sum=add(self.e_loss_sum, info["e_loss"]),
+            penalty_sum=add(self.penalty_sum, info["penalty"]),
+            violation_steps=add(self.violation_steps, info["penalty"] > 0),
+            terminations=add(self.terminations, done),
+            nr_iter_sum=add(self.nr_iter_sum, info["n_iter"]),
+        )
+
+    def summary(self):
+        s = jnp.maximum(self.steps, 1)
+        return {
+            "steps": self.steps,
+            "mean_reward": self.reward_sum / s,
+            "mean_e_loss": self.e_loss_sum / s,
+            "mean_penalty": self.penalty_sum / s,
+            "violation_rate": self.violation_steps / s,
+            "termination_rate": self.terminations / s,
+            "mean_nr_iters": self.nr_iter_sum / s,
+        }
+
+
+def log_metrics(metrics: RolloutMetrics, prefix: str = "rollout"):
+    """Host-side logging from inside jit (jax.debug.callback)."""
+
+    def _print(summary):
+        parts = ", ".join(f"{k}={float(v):.4g}" for k, v in summary.items())
+        print(f"[{prefix}] {parts}")
+
+    jax.debug.callback(_print, metrics.summary())
+
+
+def nan_guard(tree, name="tree"):
+    """Debug-mode NaN detection for pytrees (the jax_debug_nans analogue
+    scoped to one structure)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    bad = jnp.array(False)
+    for leaf in leaves:
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            bad = jnp.logical_or(bad, jnp.any(jnp.isnan(leaf)))
+
+    def _warn(b):
+        if bool(b):
+            print(f"[nan_guard] NaN detected in {name}")
+
+    jax.debug.callback(_warn, bad)
+    return tree

@@ -1,0 +1,55 @@
+"""Checkpointing, state round-trips, metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_anm_tpu.utils import (
+    RolloutMetrics,
+    env_state_to_vector,
+    restore_checkpoint,
+    save_checkpoint,
+    vector_to_env_state,
+)
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+
+def test_env_state_vector_roundtrip():
+    """EnvState -> s0 vector -> EnvState reproduces the physics state (the
+    reference's de-facto serialization, Simulator.reset)."""
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float64)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    a = env.action_low + 0.7 * (env.action_high - env.action_low)
+    state, obs, r, d, _ = env.step(state, a)
+
+    s0 = env_state_to_vector(env, state)
+    state2 = vector_to_env_state(env, s0, oltc_tap=state.oltc_tap)
+
+    np.testing.assert_allclose(np.asarray(state2.dev_p), np.asarray(state.dev_p), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state2.soc), np.asarray(state.soc), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state2.bus_vm), np.asarray(state.bus_vm), atol=1e-9)
+    assert not bool(state2.terminated)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    state, obs = jax.vmap(env.reset)(keys)
+    save_checkpoint(tmp_path / "ckpt", state, step=3)
+    restored = restore_checkpoint(tmp_path / "ckpt", state, step=3)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rollout_metrics():
+    m = RolloutMetrics.zero()
+    reward = jnp.array([-1.0, -2.0])
+    done = jnp.array([False, True])
+    info = {"e_loss": jnp.array([0.5, 0.5]), "penalty": jnp.array([0.0, 1.5]),
+            "n_iter": jnp.array([3, 4])}
+    m = m.update(reward, done, info)
+    s = m.summary()
+    assert float(s["steps"]) == 2
+    assert abs(float(s["mean_reward"]) + 1.5) < 1e-6
+    assert abs(float(s["violation_rate"]) - 0.5) < 1e-6
+    assert abs(float(s["mean_nr_iters"]) - 3.5) < 1e-6
