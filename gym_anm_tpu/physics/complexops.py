@@ -6,6 +6,7 @@ MXU, complex support on accelerators is spotty, and a single code path can
 then run in float32 (throughput mode) or float64 (parity mode).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,11 +25,16 @@ def cabs(ar, ai):
     return jnp.sqrt(ar * ar + ai * ai)
 
 
-def cmatvec(Mre, Mim, vr, vi):
+def cmatvec(Mre, Mim, vr, vi, precision=None):
     """Complex matrix-vector product with split storage.
 
     Shapes: M [..., N, N], v [..., N].  Uses real matmuls (MXU-friendly).
+
+    Pass ``precision=jax.lax.Precision.HIGHEST`` when the result feeds a
+    convergence test: TPU f32 matmuls otherwise multiply in bfloat16, whose
+    ~3-digit mantissa puts a residual floor far above any useful xtol.
     """
-    re = Mre @ vr - Mim @ vi
-    im = Mre @ vi + Mim @ vr
+    dot = lambda a, b: jnp.matmul(a, b[..., None], precision=precision)[..., 0]
+    re = dot(Mre, vr) - dot(Mim, vi)
+    im = dot(Mre, vi) + dot(Mim, vr)
     return re, im

@@ -50,10 +50,14 @@ def _assemble_v(theta, vm, dtype):
 
 
 def _mismatch(x, p, q, Yre, Yim, n):
-    """F(x) = [Re(S−s); Im(S−s)] with S = V ∘ conj(YV), rows 1..N−1."""
+    """F(x) = [Re(S−s); Im(S−s)] with S = V ∘ conj(YV), rows 1..N−1.
+
+    The matvec runs at HIGHEST precision: F is the convergence criterion,
+    and TPU's default bf16-input matmul would floor ‖F‖∞ near 1e-1.
+    """
     theta, vm = x[:n], x[n:]
     v_re, v_im = _assemble_v(theta, vm, x.dtype)
-    yv_re, yv_im = cmatvec(Yre, Yim, v_re, v_im)
+    yv_re, yv_im = cmatvec(Yre, Yim, v_re, v_im, precision=jax.lax.Precision.HIGHEST)
     # V * conj(YV)
     s_re = v_re * yv_re + v_im * yv_im
     s_im = v_im * yv_re - v_re * yv_im
@@ -140,11 +144,15 @@ def _batched_solve(J, F):
     Ff = F.reshape(B, n)
 
     platform = jax.devices()[0].platform
+    # Mosaic requires the lane-dim block (the batch tile) to be a multiple
+    # of 128 or the full batch; small batches go through whole (one tile).
     tile = None
-    for t in (256, 128, 8):
+    for t in (256, 128):
         if B % t == 0:
             tile = t
             break
+    if tile is None and B <= 512:
+        tile = B
     if platform != "cpu" and tile is not None:
         from .linsolve_pallas import solve_gauss_jordan_pallas
 
@@ -171,8 +179,169 @@ def _nr_linear_solve_vmap(axis_size, in_batched, J, F):
     return _batched_solve(J, F), True
 
 
+def flat_start_inv_jacobian(Yre, Yim):
+    """Precompute inv(J(x0)) at the flat start x0 = (θ=0, |V|=1) for a fixed
+    admittance matrix — the constant matrix of the chord-Newton fast path.
+
+    Host-side, float64; call once per network at table-build time (nominal
+    taps).  The returned [2(N−1), 2(N−1)] inverse is shared by every lane of
+    an environment batch, so under ``vmap`` each chord iteration is a single
+    large ``[B, 2n] @ [2n, 2n]`` matmul on the MXU instead of a per-lane
+    Jacobian factorization.
+    """
+    Yre = jnp.asarray(Yre, jnp.float64)
+    Yim = jnp.asarray(Yim, jnp.float64)
+    N = Yre.shape[-1]
+    n = N - 1
+    x0 = jnp.concatenate([jnp.zeros(n, jnp.float64), jnp.ones(n, jnp.float64)])
+    _, (v_re, v_im, yv_re, yv_im) = _mismatch(
+        x0, jnp.zeros(n, jnp.float64), jnp.zeros(n, jnp.float64), Yre, Yim, n
+    )
+    J0 = _jacobian(v_re, v_im, yv_re, yv_im, Yre, Yim, n)
+    return np.linalg.inv(np.asarray(J0))
+
+
+class ChordConst(NamedTuple):
+    """Trace-time constants of the chord-Newton fast path (all shared across
+    the environment batch; see :func:`make_chord_const`)."""
+
+    Y0re: np.ndarray    # [N, N] nominal-tap admittance matrix
+    Y0im: np.ndarray
+    invJ0: np.ndarray   # [2n, 2n] flat-start inverse Jacobian at nominal tap
+    G: np.ndarray       # [2n, 2] = invJ0 · U  (U = [e_{P_t}, e_{Q_t}])
+    H: np.ndarray       # [2, 2n] = Eᵀ · invJ0 (E = [e_{θ_t}, e_{|V|_t}])
+    C: np.ndarray       # [2, 2]  = Eᵀ · invJ0 · U
+    t_bus: int          # regulated branch's to-bus (from-bus is the slack)
+
+
+def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32) -> ChordConst:
+    """Build the shared constants of the tap-aware chord-Newton solver.
+
+    The chord iteration is x ← x − J(x0, a)⁻¹ F(x), where J(x0, a) is the
+    flat-start Jacobian at the lane's actual OLTC tap magnitude ``a``.  A
+    tap change on a branch whose from-bus is the slack perturbs the Y-bus in
+    exactly three entries — Y[f,f], Y[f,t], Y[t,f] (ybus.py:34-36) — and
+    because slack rows/columns are excluded from the mismatch, the
+    flat-start Jacobian (affine in Y at V ≡ 1) changes by a RANK-2 term
+    confined to rows (P_t, Q_t) and columns (θ_t, |V|_t):
+
+        J(x0, a) = J0 + U · W(a) · Eᵀ,
+        W(a) = [[Im δ, Re δ], [Re δ, −Im δ]],
+        δ = ΔY[t,f] = −y·e^{−jθ_shift}·(1/a − 1/a₀).
+
+    The Sherman–Morrison–Woodbury identity then gives the per-lane inverse
+    using only the SHARED invJ0 plus 2-dimensional per-lane corrections:
+
+        J(x0,a)⁻¹ F = invJ0·F − G · [W(I + C·W)⁻¹] · (H·F)
+
+    so under ``vmap`` every chord iteration is one [B,2n]@[2n,2n] MXU
+    matmul, one [B,2n]@[2n,2]+[B,2]@[2,2n] correction, and one shared-Y0
+    mismatch matmul — no per-lane [2n,2n] matrices touch HBM at all.  The
+    identity is exact (no tap grid, no quantization), and valid at a = a₀
+    where W = 0.
+    """
+    n = Y0re.shape[-1] - 1
+    invJ0 = flat_start_inv_jacobian(Y0re, Y0im)
+    it = int(t_bus) - 1
+    rows = [it, n + it]
+    return ChordConst(
+        Y0re=np.asarray(Y0re, dtype),
+        Y0im=np.asarray(Y0im, dtype),
+        invJ0=invJ0.astype(dtype),
+        G=invJ0[:, rows].astype(dtype),
+        H=invJ0[rows, :].astype(dtype),
+        C=invJ0[np.ix_(rows, rows)].astype(dtype),
+        t_bus=int(t_bus),
+    )
+
+
+def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
+                xtol=1e-5, lim_iter=48, stall_tol_factor=10.0):
+    """Chord-Newton phase of the load-flow solve (single lane; vmap it).
+
+    Parameters
+    ----------
+    p, q : [N−1] — non-slack bus injections (as in :func:`nr_solve`).
+    w_a, w_b : scalars — W(a) entries Im δ and Re δ (0 when the lane's tap
+        is nominal or the network has no OLTC).
+    dtf_re, dtf_im : scalars — ΔY[t,f] = δ, the per-lane Y-bus correction;
+        the true mismatch is evaluated as V∘conj(Y0·V + ΔY·V) where
+        (ΔY·V)_t = δ·V_slack = δ (slack pinned at 1+0j).
+    const : :class:`ChordConst` — shared matrices (closed over at trace
+        time).
+
+    Returns ``(x, F, diff, n_iter, accepted)`` — a warm start for
+    :func:`nr_solve`; ``accepted`` lanes already satisfy the residual
+    criterion (diff ≤ xtol, or within the float32 rounding floor
+    ``stall_tol_factor·xtol`` after the residual plateaus) and skip the NR
+    loop entirely.
+    """
+    dtype = p.dtype
+    Y0re = jnp.asarray(const.Y0re, dtype)
+    Y0im = jnp.asarray(const.Y0im, dtype)
+    invJ0 = jnp.asarray(const.invJ0, dtype)
+    G = jnp.asarray(const.G, dtype)
+    H = jnp.asarray(const.H, dtype)
+    C = jnp.asarray(const.C, dtype)
+    n = Y0re.shape[-1] - 1
+    t = const.t_bus
+
+    # K = W (I + C W)⁻¹, 2×2 per lane in closed form.
+    W = jnp.array([[w_a, w_b], [w_b, -w_a]], dtype=dtype)
+    M = jnp.eye(2, dtype=dtype) + C @ W
+    det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    Minv = jnp.array([[M[1, 1], -M[0, 1]], [-M[1, 0], M[0, 0]]], dtype=dtype) / det
+    K = W @ Minv
+
+    def mismatch(x):
+        theta, vm = x[:n], x[n:]
+        v_re, v_im = _assemble_v(theta, vm, dtype)
+        # HIGHEST precision: this is the convergence criterion (see
+        # _mismatch); the chord UPDATE matmuls below stay at the fast
+        # default — they only shape the iteration path, not its fixed point.
+        yv_re, yv_im = cmatvec(Y0re, Y0im, v_re, v_im, precision=jax.lax.Precision.HIGHEST)
+        yv_re = yv_re.at[t].add(dtf_re)
+        yv_im = yv_im.at[t].add(dtf_im)
+        s_re = v_re * yv_re + v_im * yv_im
+        s_im = v_im * yv_re - v_re * yv_im
+        return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
+
+    x0 = jnp.concatenate([jnp.zeros(n, dtype=dtype), jnp.ones(n, dtype=dtype)])
+    F0 = mismatch(x0)
+    diff0 = jnp.max(jnp.abs(F0))
+
+    stall_limit = 3
+
+    def cond(carry):
+        x, F, diff, best, it, stall = carry
+        active = jnp.logical_and(diff > xtol, it < lim_iter)
+        return jnp.logical_and(active, stall < stall_limit)
+
+    def body(carry):
+        x, F, diff, best, it, stall = carry
+        x = x - invJ0 @ F + G @ (K @ (H @ F))
+        F = mismatch(x)
+        new_diff = jnp.max(jnp.abs(F))
+        # Chord convergence is linear (typical rate ~0.25/iter here).
+        # "Stalled" = 3 consecutive iterations without beating the best
+        # residual so far by ≥20% — at the f32 rounding floor the residual
+        # bounces around its plateau, so comparing against best-so-far
+        # (not the previous iterate) is what terminates reliably.
+        improving = new_diff < best * 0.8
+        stall = jnp.where(improving, 0, stall + 1)
+        best = jnp.minimum(best, new_diff)
+        return x, F, new_diff, best, it + 1, stall
+
+    x, F, diff, _, n_iter, _ = jax.lax.while_loop(
+        cond, body,
+        (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+    )
+    accepted = diff <= stall_tol_factor * xtol
+    return x, F, diff, n_iter, accepted
+
+
 @partial(jax.jit, static_argnames=("xtol", "lim_iter"))
-def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100) -> NRResult:
+def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:
     """Solve the power-flow equations for one network.
 
     Parameters
@@ -182,6 +351,15 @@ def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100) -> NRResult:
     xtol : float — ‖F‖∞ convergence tolerance (1e-5 in the reference's
         ``Simulator.transition``, simulator.py:591).
     lim_iter : int — iteration cap (solve_load_flow.py:176).
+    init : optional warm start ``(x, F, diff, n_iter, accepted)`` from
+        :func:`chord_solve` (the float32 throughput tier's fast path).
+        ``accepted`` lanes already satisfy the residual criterion and skip
+        the NR loop; the rest (diverging physics, chord-slow excursions)
+        continue with exact Newton from the chord iterate.  When every lane
+        of a vmapped batch is accepted, the NR loop body never executes.
+        The fixed point is the same either way (both phases stop on the
+        true-mismatch residual), so results agree with plain NR to solver
+        tolerance.
 
     vmap over leading batch axes of (Yre, Yim, p, q) for the env farm.
     """
@@ -202,9 +380,19 @@ def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100) -> NRResult:
     stall_limit = 3
     stall_tol = 10.0 * xtol
 
+    # Warm start from the chord phase (float32 throughput tier).
+    if init is not None:
+        x, F, diff, it0, accepted = init
+        it0 = it0.astype(jnp.int32)
+    else:
+        x, F, diff = x0, F0, diff0
+        it0 = jnp.zeros((), jnp.int32)
+        accepted = jnp.zeros((), bool)
+
     def cond(carry):
         x, F, diff, it, stall = carry
         active = jnp.logical_and(diff > xtol, it < lim_iter)
+        active = jnp.logical_and(active, jnp.logical_not(accepted))
         if f32_mode:
             active = jnp.logical_and(active, stall < stall_limit)
         return active
@@ -229,12 +417,12 @@ def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100) -> NRResult:
         return x, F, new_diff, it + 1, stall
 
     x, F, diff, n_iter, stall = jax.lax.while_loop(
-        cond, body, (x0, F0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        cond, body, (x, F, diff, it0, jnp.zeros((), jnp.int32))
     )
 
     v_re, v_im = _assemble_v(x[:n], x[n:], dtype)
     converged = jnp.logical_not(jnp.isnan(diff))
-    ok = diff <= xtol
+    ok = jnp.logical_or(diff <= xtol, accepted)
     if f32_mode:
         ok = jnp.logical_or(ok, jnp.logical_and(stall >= stall_limit, diff <= stall_tol))
     stable = jnp.logical_and(converged, ok)

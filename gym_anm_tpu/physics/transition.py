@@ -22,7 +22,7 @@ import numpy as np
 
 from ..specs.network import NetworkSpec
 from .complexops import cmatvec
-from .power_flow import nr_solve
+from .power_flow import ChordConst, chord_solve, make_chord_const, nr_solve
 from .projection import make_pair_indices, project_polytope_2d
 from .ybus import build_ybus
 
@@ -99,6 +99,18 @@ class GridTables(NamedTuple):
     oltc_tap_max: np.ndarray
     oltc_branch: np.ndarray
 
+    # Chord-Newton fast-path constants (float32 tier only; see
+    # power_flow.make_chord_const).  None when the network topology doesn't
+    # qualify (>1 OLTC, or an OLTC whose from-bus isn't the slack) — those
+    # fall back to the exact NR loop.
+    chord: ChordConst = None
+    # OLTC series admittance / shift / nominal tap, for the per-lane ΔY:
+    chord_y_re: float = 0.0
+    chord_y_im: float = 0.0
+    chord_shift: float = 0.0
+    chord_a0: float = 1.0
+    chord_has_oltc: bool = False
+
 
 def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTables:
     f = lambda a: np.asarray(a, dtype=np.dtype(dtype))
@@ -152,6 +164,35 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTabl
 
     rer_in_gen = np.array([int(np.where(gp == r)[0][0]) for r in spec.rer_pos], dtype=np.int64)
 
+    # Chord-Newton fast-path constants: nominal-tap Y-bus + flat-start
+    # inverse Jacobian + rank-2 Woodbury correction matrices (see
+    # power_flow.make_chord_const).  Built float64, stored at `dtype`.
+    Yre0, Yim0 = build_ybus(
+        spec.n_bus, spec.br_f, spec.br_t,
+        jnp.asarray(series.real, jnp.float64), jnp.asarray(series.imag, jnp.float64),
+        jnp.asarray(spec.br_b / 2.0, jnp.float64),
+        jnp.asarray(np.cos(spec.br_shift), jnp.float64),
+        jnp.asarray(np.sin(spec.br_shift), jnp.float64),
+        jnp.asarray(spec.br_tap0, jnp.float64),
+    )
+    chord = None
+    chord_y_re = chord_y_im = chord_shift = 0.0
+    chord_a0 = 1.0
+    chord_has_oltc = False
+    if spec.n_oltc == 0:
+        # No taps move: W ≡ 0, ΔY ≡ 0; t_bus is an unused dummy.
+        chord = make_chord_const(Yre0, Yim0, t_bus=1, dtype=np.dtype(dtype))
+    elif spec.n_oltc == 1:
+        br = int(spec.oltc_branch[0])
+        f_bus, t_bus = int(spec.br_f[br]), int(spec.br_t[br])
+        if f_bus == spec.slack_pos == 0:
+            chord = make_chord_const(Yre0, Yim0, t_bus=t_bus, dtype=np.dtype(dtype))
+            chord_y_re = float(series.real[br])
+            chord_y_im = float(series.imag[br])
+            chord_shift = float(spec.br_shift[br])
+            chord_a0 = float(spec.br_tap0[br])
+            chord_has_oltc = True
+
     return GridTables(
         n_bus=spec.n_bus,
         n_branch=spec.n_branch,
@@ -204,6 +245,12 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTabl
         oltc_tap_min=f(spec.oltc_tap_min),
         oltc_tap_max=f(spec.oltc_tap_max),
         oltc_branch=spec.oltc_branch,
+        chord=chord,
+        chord_y_re=chord_y_re,
+        chord_y_im=chord_y_im,
+        chord_shift=chord_shift,
+        chord_a0=chord_a0,
+        chord_has_oltc=chord_has_oltc,
     )
 
 
@@ -361,7 +408,23 @@ def transition(
     )
     p_ns = bus_p[tb.nonslack_bus]
     q_ns = bus_q[tb.nonslack_bus]
-    nr = nr_solve(Yre, Yim, p_ns, q_ns, xtol=1e-5, lim_iter=100)
+    # f64 (parity tier): exact reference NR loop.  f32 (throughput tier):
+    # chord-Newton fast path (shared-matrix Woodbury iterations; see
+    # power_flow.chord_solve) with exact-NR fallback for rejected lanes.
+    init = None
+    if dt != np.float64 and tb.chord is not None:
+        if tb.chord_has_oltc:
+            # δ = ΔY[t,f] = −y·e^{−jθs}·(1/a − 1/a₀) for the lane's tap a.
+            inv_da = 1.0 / tap_new[0] - 1.0 / tb.chord_a0
+            cs, sn = np.cos(tb.chord_shift), np.sin(tb.chord_shift)
+            ye_re = tb.chord_y_re * cs + tb.chord_y_im * sn
+            ye_im = tb.chord_y_im * cs - tb.chord_y_re * sn
+            dtf_re = -ye_re * inv_da
+            dtf_im = -ye_im * inv_da
+        else:
+            dtf_re = dtf_im = jnp.zeros((), dt)
+        init = chord_solve(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+    nr = nr_solve(Yre, Yim, p_ns, q_ns, xtol=1e-5, lim_iter=100, init=init)
 
     # 8. Nodal currents I = YV; measured slack injection (NaN → +inf,
     #    solve_load_flow.py:54-72).

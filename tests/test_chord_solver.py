@@ -1,0 +1,148 @@
+"""Chord-Newton fast-path correctness.
+
+The float32 throughput tier solves the load flow with a chord iteration
+whose matrix is the flat-start Jacobian at the lane's OLTC tap, applied via
+a rank-2 Sherman-Morrison-Woodbury correction of a shared inverse
+(physics/power_flow.py: make_chord_const, chord_solve).  These tests pin the
+algebraic identities in float64 and the end-to-end agreement between the
+chord path and the exact Newton-Raphson loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.physics.power_flow import (
+    _assemble_v,
+    _jacobian,
+    _mismatch,
+    chord_solve,
+    make_chord_const,
+    nr_solve,
+)
+from gym_anm_tpu.physics.complexops import cmatvec
+from gym_anm_tpu.physics.ybus import build_ybus
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+
+@pytest.fixture(scope="module")
+def env64():
+    return VecEnv(make_ieee33_task(), dtype=jnp.float64)
+
+
+def _ybus_at_tap(tb, a, dtype=jnp.float64):
+    tap = jnp.asarray(tb.tap0, dtype).at[tb.oltc_branch].set(a)
+    return build_ybus(
+        tb.n_bus, tb.br_f, tb.br_t,
+        jnp.asarray(tb.series_re, dtype), jnp.asarray(tb.series_im, dtype),
+        jnp.asarray(tb.shunt_im, dtype), jnp.asarray(tb.shift_cos, dtype),
+        jnp.asarray(tb.shift_sin, dtype), tap,
+    )
+
+
+def _delta(tb, a):
+    """ΔY[t,f] = −y·e^{−jθs}·(1/a − 1/a₀)."""
+    inv_da = 1.0 / a - 1.0 / tb.chord_a0
+    y = tb.chord_y_re + 1j * tb.chord_y_im
+    return -y * np.exp(-1j * tb.chord_shift) * inv_da
+
+
+def _flat_jacobian(Yre, Yim, n):
+    x0 = jnp.concatenate([jnp.zeros(n, jnp.float64), jnp.ones(n, jnp.float64)])
+    _, (vr, vi, yr, yi) = _mismatch(x0, jnp.zeros(n, jnp.float64), jnp.zeros(n, jnp.float64), Yre, Yim, n)
+    return np.asarray(_jacobian(vr, vi, yr, yi, Yre, Yim, n))
+
+
+def test_rank2_jacobian_identity(env64):
+    """J(x0, a) == J0 + U·W(a)·Eᵀ exactly, for taps across the OLTC range."""
+    tb = env64.tables
+    n = tb.n_bus - 1
+    J0 = _flat_jacobian(*_ybus_at_tap(tb, tb.chord_a0), n)
+    it = tb.chord.t_bus - 1
+    rows = [it, n + it]
+    for a in (0.9, 0.97, 1.03, 1.1):
+        Ja = _flat_jacobian(*_ybus_at_tap(tb, a), n)
+        d = _delta(tb, a)
+        W = np.array([[d.imag, d.real], [d.real, -d.imag]])
+        dJ = np.zeros_like(J0)
+        dJ[np.ix_(rows, rows)] = W
+        np.testing.assert_allclose(Ja, J0 + dJ, rtol=0, atol=1e-9)
+
+
+def test_decomposed_mismatch_identity(env64):
+    """V∘conj(Y0·V + δ·e_t) == V∘conj(Y(a)·V) at arbitrary states."""
+    tb = env64.tables
+    n = tb.n_bus - 1
+    a = 0.94
+    Yre, Yim = _ybus_at_tap(tb, a)
+    d = _delta(tb, a)
+    key = jax.random.PRNGKey(0)
+    x = jnp.concatenate(
+        [0.2 * jax.random.normal(key, (n,), jnp.float64),
+         1.0 + 0.15 * jax.random.normal(jax.random.fold_in(key, 1), (n,), jnp.float64)]
+    )
+    p = 0.3 * jax.random.normal(jax.random.fold_in(key, 2), (n,), jnp.float64)
+    q = 0.3 * jax.random.normal(jax.random.fold_in(key, 3), (n,), jnp.float64)
+    F_true, _ = _mismatch(x, p, q, Yre, Yim, n)
+
+    vr, vi = _assemble_v(x[:n], x[n:], jnp.float64)
+    yr, yi = cmatvec(jnp.asarray(tb.chord.Y0re, jnp.float64),
+                     jnp.asarray(tb.chord.Y0im, jnp.float64), vr, vi)
+    yr = yr.at[tb.chord.t_bus].add(d.real)
+    yi = yi.at[tb.chord.t_bus].add(d.imag)
+    sr = vr * yr + vi * yi
+    si = vi * yr - vr * yi
+    F_dec = jnp.concatenate([sr[1:] - p, si[1:] - q])
+    np.testing.assert_allclose(np.asarray(F_dec), np.asarray(F_true), rtol=0, atol=1e-10)
+
+
+def test_chord_matches_nr_solution(env64):
+    """chord_solve reaches the same voltages as exact NR (both stop on the
+    true-mismatch residual, so solutions agree to solver tolerance)."""
+    tb = env64.tables
+    n = tb.n_bus - 1
+    key = jax.random.PRNGKey(7)
+    B = 32
+    taps = jax.random.uniform(key, (B,), jnp.float64, 0.9, 1.1)
+    p = 0.02 * jax.random.normal(jax.random.fold_in(key, 1), (B, n), jnp.float64)
+    q = 0.02 * jax.random.normal(jax.random.fold_in(key, 2), (B, n), jnp.float64)
+
+    def chord_v(p, q, a):
+        d = -(tb.chord_y_re + 1j * tb.chord_y_im) * (1.0 / a - 1.0 / tb.chord_a0)
+        x, F, diff, it, acc = chord_solve(
+            p, q, jnp.imag(d), jnp.real(d), jnp.real(d), jnp.imag(d), tb.chord
+        )
+        return _assemble_v(x[:n], x[n:], jnp.float64), diff, acc
+
+    def nr_v(p, q, a):
+        Yre, Yim = _ybus_at_tap(tb, a)
+        r = nr_solve(Yre, Yim, p, q)
+        return r.v_re, r.v_im, r.stable
+
+    (vr_c, vi_c), diff, acc = jax.vmap(chord_v)(p, q, taps)
+    vr_n, vi_n, stable = jax.vmap(nr_v)(p, q, taps)
+    assert bool(jnp.all(acc)), f"chord rejected lanes, diff max {float(diff.max()):.2e}"
+    assert bool(jnp.all(stable))
+    # Both solvers stop at ‖F‖∞ ≤ 1e-5, which bounds the voltage gap near
+    # ~1e-6 (residual-to-state sensitivity), not bitwise equality.
+    np.testing.assert_allclose(np.asarray(vr_c), np.asarray(vr_n), rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(vi_c), np.asarray(vi_n), rtol=0, atol=5e-6)
+
+
+def test_f32_step_matches_f64(env64):
+    """The f32 step (chord path) agrees with the f64 step (exact NR) on
+    rewards and voltages to f32 solver tolerance."""
+    env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    B = 64
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    s32, _ = jax.jit(jax.vmap(env32.reset))(keys)
+    s64, _ = jax.jit(jax.vmap(env64.reset))(keys)
+    acts = env32.action_low + jax.random.uniform(
+        jax.random.PRNGKey(1), (B, env32.n_action), jnp.float32
+    ) * (env32.action_high - env32.action_low)
+
+    _, _, r32, d32, _ = jax.jit(jax.vmap(env32.step))(s32, acts)
+    _, _, r64, d64, _ = jax.jit(jax.vmap(env64.step))(s64, acts.astype(jnp.float64))
+    assert not bool(d32.any()) and not bool(d64.any())
+    np.testing.assert_allclose(np.asarray(r32), np.asarray(r64), rtol=2e-3, atol=2e-4)
