@@ -1,4 +1,16 @@
-"""Policies: MPC DC-OPF agents and the IEEE33 controller hierarchy."""
+"""Policies: MPC DC-OPF agents and the IEEE33 controller hierarchies.
+
+Canonical 13-dim hierarchy (``CorrectedL0``-``CorrectedL5``) is exported
+here; the variant families live in their own modules mirroring the
+reference layout:
+
+* :mod:`.multicap_controllers` — 17-dim multi/unequal-capacitor fleet
+  controllers (proportional, droop, hierarchical MPC, switching-aware MPC,
+  true discrete MPC, size-aware unequal-cap L5).
+* :mod:`.diversity_hierarchy` — the "algorithmically diverse" L0-L5 set
+  (random / bang-bang / P / PI / rule-based / SLSQP).
+* :mod:`.ready_hierarchy` — the "ready-to-use" L0-L5 set.
+"""
 
 from .ieee33_controllers import (
     CorrectedL0_Random,
@@ -9,6 +21,15 @@ from .ieee33_controllers import (
     CorrectedL5_Optimal,
 )
 from .mpc import MPCAgent, MPCAgentConstant, MPCAgentPerfect
+from .multicap_controllers import (
+    L2_DiscreteDroop,
+    L2_ProportionalControl_MultiCap,
+    L5_EnhancedSwitchingAware,
+    L5_HierarchicalMPC_MultiCap,
+    L5_SwitchingAwareMPC,
+    L5_TrueMPC,
+)
+from . import diversity_hierarchy, ready_hierarchy
 
 __all__ = [
     "MPCAgent",
@@ -20,4 +41,12 @@ __all__ = [
     "CorrectedL3_Coordinated",
     "CorrectedL4_Predictive",
     "CorrectedL5_Optimal",
+    "L2_ProportionalControl_MultiCap",
+    "L2_DiscreteDroop",
+    "L5_HierarchicalMPC_MultiCap",
+    "L5_SwitchingAwareMPC",
+    "L5_TrueMPC",
+    "L5_EnhancedSwitchingAware",
+    "diversity_hierarchy",
+    "ready_hierarchy",
 ]

@@ -23,4 +23,8 @@ def __getattr__(name):
         from .ieee33_unequal_capacitors import IEEE33UnequalCapacitorsEnv
 
         return IEEE33UnequalCapacitorsEnv
+    if name == "IEEE33ProperEnvironment":
+        from .ieee33_proper import IEEE33ProperEnvironment
+
+        return IEEE33ProperEnvironment
     raise AttributeError(f"module 'gym_anm_tpu.compat' has no attribute {name!r}")

@@ -397,11 +397,15 @@ def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:
             active = jnp.logical_and(active, stall < stall_limit)
         return active
 
-    # float64 (CPU parity tier) uses the LAPACK-exact solve; float32 (TPU
-    # throughput tier) uses the batched Gauss-Jordan kernel, which is ~50x
-    # faster than XLA's tiny-batch LU on TPU.
-    if dtype == jnp.float64:
+    # float64 on CPU (parity tier) uses the LAPACK-exact solve; float32
+    # (TPU throughput tier) uses the batched Gauss-Jordan kernel, ~50x
+    # faster than XLA's tiny-batch LU on TPU.  float64 on TPU also goes
+    # through Gauss-Jordan: TPU's LuDecomposition custom call only
+    # implements F32/C64.
+    if dtype == jnp.float64 and jax.devices()[0].platform == "cpu":
         linsolve = jnp.linalg.solve
+    elif dtype == jnp.float64:
+        linsolve = solve_gauss_jordan
     else:
         linsolve = nr_linear_solve
 
