@@ -1,0 +1,60 @@
+"""The repo-root dataset/benchmark scripts stay importable and functional.
+
+Equivalent of exercising the reference's L7 scripts (SURVEY §2 row 28) at
+tiny sizes.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(SCRIPTS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_collect_episode_data_schema():
+    gen = _load("generate_final_offline_datasets")
+    from gym_anm_tpu.compat import IEEE33ProperEnvironment
+
+    env = IEEE33ProperEnvironment()
+    data = gen.collect_episode_data(env, gen.SimpleL5_Optimal(), num_episodes=2, steps=5)
+    assert set(data) == {"states", "actions", "rewards", "next_states",
+                         "dones", "episode_returns"}
+    assert data["states"].shape[0] == data["actions"].shape[0] == 10
+    assert data["actions"].shape[1] == 17
+    assert np.all(np.isfinite(data["rewards"]))
+
+
+def test_simple_controllers_produce_valid_actions():
+    gen = _load("generate_final_offline_datasets")
+    from gym_anm_tpu.compat import IEEE33ProperEnvironment
+
+    env = IEEE33ProperEnvironment()
+    env.reset(seed=0)
+    for cls in gen.CONTROLLERS:
+        a = np.clip(cls().act(env), env.action_space.low, env.action_space.high)
+        assert env.action_space.contains(np.asarray(a, dtype=env.action_space.dtype))
+
+
+def test_load_patterns_are_bounded():
+    pat = _load("test_diverse_load_patterns")
+    for name, fn in pat.create_load_patterns().items():
+        vals = np.array([fn(t) for t in range(300)])
+        assert np.all(vals > 0), name
+        assert np.all(vals < 2.0), name
+
+
+def test_diversity_benchmark_single_run():
+    bench = _load("create_algorithmic_diversity")
+    avg = bench.run(bench.CONTROLLERS[1][1], load_scale=1.0, steps=5)
+    assert np.isfinite(avg)
