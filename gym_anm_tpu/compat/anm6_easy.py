@@ -112,8 +112,16 @@ class ANM6(ANMEnv):
         soc_max = [network_specs["des_soc"][i]["MWh"][1] for i in network_specs["des_soc"]]
         c1 = 100 if self.costs_clipping[0] is None else self.costs_clipping[0]
         c2 = 10000 if self.costs_clipping[1] is None else self.costs_clipping[1]
+        sim = self.simulator
+        topology = {
+            "busIds": list(sim.buses.keys()),
+            "devBus": [dev.bus_id for dev in sim.devices.values()],
+            "branchFrom": [f for f, _ in sim.branches.keys()],
+            "branchTo": [t for _, t in sim.branches.keys()],
+        }
         self.http_server, self.ws_server = rendering.start(
-            title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max, (c1, c2)
+            title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max,
+            (c1, c2), topology=topology,
         )
 
     def _update_render(self, dev_p, dev_q, branch_s, des_soc, gen_p_max,
@@ -121,7 +129,7 @@ class ANM6(ANMEnv):
         from ..render import rendering
 
         rendering.update(
-            self.ws_server.address, self.date, self.year_count, dev_p, dev_q,
+            self.ws_server, self.date, self.year_count, dev_p, dev_q,
             branch_s, des_soc, gen_p_max, bus_v_magn, costs, network_collapsed,
         )
 

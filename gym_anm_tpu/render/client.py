@@ -1,0 +1,154 @@
+"""The browser dashboard: a single self-contained HTML page.
+
+Replacement for the reference's ~790 LoC JS/CSS/SVG client
+(``rendering/js/*.js`` + the hand-drawn ``envs/anm6/network.svg``), with one
+deliberate upgrade: instead of a fixed drawing that only works for the ANM6
+grid, the page builds the one-line diagram from topology shipped in the
+``init`` message (bus coordinates computed host-side by a BFS feeder
+layout), so ANY network — ANM6, IEEE33, custom grids — renders without
+artwork.  Message schema is the reference's (init/update labels,
+rendering.py:88-163) plus the topology fields.
+"""
+
+_PAGE = r"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8"><title>gym-anm-tpu</title>
+<style>
+  body { font-family: -apple-system, system-ui, sans-serif; margin: 0;
+         background: #fafafa; color: #222; }
+  #bar { padding: 10px 16px; background: #1d2733; color: #eee;
+         display: flex; gap: 24px; align-items: baseline; }
+  #bar h1 { font-size: 16px; margin: 0; }
+  #bar .stat { font-size: 13px; opacity: .9; }
+  #collapsed { display: none; background: #c0392b; color: #fff;
+               padding: 6px 16px; font-weight: 600; }
+  svg { display: block; margin: 8px auto; background: #fff;
+        border: 1px solid #ddd; }
+  .bus { stroke: #333; stroke-width: 1; }
+  .branch { stroke-linecap: round; }
+  .lbl { font-size: 9px; fill: #555; }
+  .dev { font-size: 8px; }
+</style>
+</head>
+<body>
+<div id="bar">
+  <h1 id="title">gym-anm-tpu</h1>
+  <span class="stat" id="clock">--</span>
+  <span class="stat" id="eloss">E-loss: --</span>
+  <span class="stat" id="penalty">Penalty: --</span>
+</div>
+<div id="collapsed">NETWORK COLLAPSED — load flow did not converge</div>
+<svg id="net" width="960" height="640" viewBox="0 0 960 640"></svg>
+<script>
+const WS_ADDRESS = "__WS_ADDRESS__";
+const NS = "http://www.w3.org/2000/svg";
+let spec = null, nodes = [], edges = [], devGlyphs = [];
+
+function el(tag, attrs, parent) {
+  const e = document.createElementNS(NS, tag);
+  for (const k in attrs) e.setAttribute(k, attrs[k]);
+  (parent || document.getElementById("net")).appendChild(e);
+  return e;
+}
+function xy(i) {  // spec.busXY in [0,1]^2 -> svg coords with margins
+  return [60 + spec.busXY[i][0] * 840, 50 + spec.busXY[i][1] * 540];
+}
+function vColor(v, lo, hi) {
+  if (v < lo || v > hi) return "#c0392b";
+  const m = Math.min(v - lo, hi - v) / ((hi - lo) / 2);
+  return m > 0.4 ? "#27ae60" : "#e67e22";
+}
+function sColor(u) {
+  return u >= 1 ? "#c0392b" : (u > 0.7 ? "#e67e22" : "#7f8c8d");
+}
+const DEV_COLOR = {"-1": "#2980b9", "0": "#111", "1": "#8e44ad",
+                   "2": "#27ae60", "3": "#d35400", "4": "#16a085",
+                   "5": "#2c3e50"};
+const DEV_NAME = {"-1": "load", "0": "slack", "1": "gen", "2": "RE",
+                  "3": "DES", "4": "cap", "5": "OLTC"};
+
+function build(s) {
+  spec = s;
+  document.getElementById("title").textContent = s.title + " — gym-anm-tpu";
+  const svg = document.getElementById("net");
+  svg.innerHTML = "";
+  edges = s.branchFrom.map((f, k) => {
+    const [x1, y1] = xy(f), [x2, y2] = xy(s.branchTo[k]);
+    const line = el("line", {x1, y1, x2, y2, class: "branch",
+                             stroke: "#7f8c8d", "stroke-width": 2.5});
+    const lbl = el("text", {x: (x1 + x2) / 2, y: (y1 + y2) / 2 - 4,
+                            class: "lbl", "text-anchor": "middle"});
+    return {line, lbl};
+  });
+  nodes = s.busIds.map((b, i) => {
+    const [x, y] = xy(i);
+    const c = el("circle", {cx: x, cy: y, r: 7, class: "bus", fill: "#bbb"});
+    el("text", {x: x, y: y - 10, class: "lbl", "text-anchor": "middle"})
+      .textContent = "bus " + b;
+    const vlbl = el("text", {x: x, y: y + 19, class: "lbl",
+                             "text-anchor": "middle"});
+    return {c, vlbl};
+  });
+  devGlyphs = s.devType.map((t, d) => {
+    const i = s.devBus[d];
+    const [x, y] = xy(i);
+    const slot = s.devType.slice(0, d).filter((_, j) => s.devBus[j] === i).length;
+    const gx = x + 14 + 40 * slot, gy = y - 6;
+    el("rect", {x: gx, y: gy, width: 10, height: 10, rx: 2,
+                fill: DEV_COLOR[t] || "#999"});
+    const lbl = el("text", {x: gx + 13, y: gy + 8, class: "dev"});
+    lbl.textContent = DEV_NAME[t] || "?";
+    return {lbl, t};
+  });
+}
+
+function update(m) {
+  if (!spec) return;
+  document.getElementById("collapsed").style.display =
+    m.networkCollapsed ? "block" : "none";
+  const t = m.time;
+  document.getElementById("clock").textContent =
+    `month ${t[0]} day ${t[1]}  ${String(t[2]).padStart(2, "0")}:` +
+    `${String(t[3]).padStart(2, "0")}  (+${m.yearCount}y)`;
+  document.getElementById("eloss").textContent =
+    "E-loss: " + m.reward[0].toFixed(3);
+  document.getElementById("penalty").textContent =
+    "Penalty: " + m.reward[1].toFixed(3);
+  m.vMagn.forEach((v, i) => {
+    nodes[i].c.setAttribute("fill", vColor(v, spec.vMin[i], spec.vMax[i]));
+    nodes[i].vlbl.textContent = v.toFixed(3);
+  });
+  m.sFlows.forEach((s, k) => {
+    const rate = spec.sRate[k];
+    const u = rate > 0 && rate < 1e8 ? Math.abs(s) / rate : 0;
+    edges[k].line.setAttribute("stroke", sColor(u));
+    edges[k].lbl.textContent = Math.abs(s).toFixed(2);
+  });
+  let soc_i = 0;
+  m.pInjections.forEach((p, d) => {
+    const g = devGlyphs[d];
+    let txt = DEV_NAME[g.t] + " " + p.toFixed(2);
+    if (g.t === 3) txt += ` [${m.socStorage[soc_i++].toFixed(1)}]`;
+    g.lbl.textContent = txt;
+  });
+}
+
+function connect() {
+  const ws = new WebSocket(WS_ADDRESS);
+  ws.onmessage = (ev) => {
+    const m = JSON.parse(ev.data);
+    if (m.messageLabel === "init") build(m);
+    else if (m.messageLabel === "update") update(m);
+  };
+  ws.onclose = () => setTimeout(connect, 1000);
+}
+connect();
+</script>
+</body>
+</html>
+"""
+
+
+def render_page(ws_address: str) -> bytes:
+    return _PAGE.replace("__WS_ADDRESS__", ws_address).encode()

@@ -1,0 +1,125 @@
+"""End-to-end rendering subsystem tests (no browser needed).
+
+Exercises the real network path: HTTP page over a socket, WebSocket
+handshake + frames through a genuine client connection, init replay to
+late joiners, and the ANM6 env's render() hook publishing real state.
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gym_anm_tpu.render import WsClient, close, feeder_layout, start, update
+from gym_anm_tpu.render.ws import WsServer
+
+
+def test_ws_broadcast_and_init_replay():
+    server = WsServer()
+    try:
+        init = json.dumps({"messageLabel": "init", "title": "t"})
+        server.broadcast(init)  # published before any client connects
+
+        c1 = WsClient(server.address)
+        assert json.loads(c1.recv())["messageLabel"] == "init"  # replayed
+
+        server.broadcast(json.dumps({"messageLabel": "update", "x": 1}))
+        assert json.loads(c1.recv())["x"] == 1
+
+        c2 = WsClient(server.address)  # late joiner still gets init
+        assert json.loads(c2.recv())["messageLabel"] == "init"
+        c1.close()
+        c2.close()
+    finally:
+        server.stop()
+
+
+def test_ws_client_to_server_relay():
+    """Out-of-process publishers (WsClient.send) reach browser clients,
+    like the reference's hub (servers.py:47-60)."""
+    server = WsServer()
+    try:
+        viewer = WsClient(server.address)
+        publisher = WsClient(server.address)
+        publisher.send(json.dumps({"messageLabel": "update", "k": 42}))
+        assert json.loads(viewer.recv())["k"] == 42
+        viewer.close()
+        publisher.close()
+    finally:
+        server.stop()
+
+
+def test_feeder_layout_properties():
+    # IEEE33-like radial chain: coordinates unique, inside [0,1]^2.
+    bf = list(range(0, 10))
+    bt = list(range(1, 11))
+    xy = feeder_layout(11, bf, bt)
+    assert len(xy) == 11
+    arr = np.array(xy)
+    assert arr.min() >= 0 and arr.max() <= 1
+    assert len({tuple(p) for p in xy}) == 11
+    assert xy[0][0] == 0.0 and xy[10][0] == 1.0  # depth maps to x
+
+
+def test_start_update_close_roundtrip():
+    http_server, ws_server = start(
+        "TestGrid", [0, -1, 2], [10, 5, 3], [5, 3, 2], [15, 10],
+        [0.95, 0.95], [1.05, 1.05], [100.0], (1, 100),
+        topology={"busIds": [0, 1], "devBus": [0, 1, 1],
+                  "branchFrom": [0], "branchTo": [1]},
+        open_browser=False,
+    )
+    try:
+        html = urllib.request.urlopen(http_server.address, timeout=5).read()
+        assert b"<svg" in html and ws_server.address.encode() in html
+
+        client = WsClient(ws_server.address)
+        init = json.loads(client.recv())
+        assert init["messageLabel"] == "init"
+        assert init["busXY"] == [[0.0, 0.5], [1.0, 0.5]]
+        assert init["devBus"] == [0, 1, 1]
+
+        import datetime
+
+        update(ws_server, datetime.datetime(2026, 8, 16, 12, 30), 0,
+               [1.0, -0.5, 0.2], [0.1, 0.0, 0.0], [0.9], [50.0], [0.2],
+               [1.0, 0.98], (0.1, 0.0), False)
+        frame = json.loads(client.recv())
+        assert frame["messageLabel"] == "update"
+        assert frame["vMagn"] == [1.0, 0.98]
+        assert frame["networkCollapsed"] is False
+        client.close()
+    finally:
+        close(http_server, ws_server)
+
+
+def test_anm6_render_publishes_real_state():
+    """env.render() through the compat ANM6 publishes init + per-step
+    update frames with the live grid state (anm6.py:46-111 behavior)."""
+    import gym_anm_tpu
+
+    env = gym_anm_tpu.ANM6Easy()
+    env.reset(seed=0)
+    # Suppress the browser tab in tests.
+    import gym_anm_tpu.render.rendering as rmod
+
+    orig = rmod.webbrowser.open
+    rmod.webbrowser.open = lambda *a, **k: None
+    try:
+        env.render()
+        client = WsClient(env.ws_server.address)
+        init = json.loads(client.recv())
+        assert init["messageLabel"] == "init"
+        assert len(init["devType"]) == 7 and len(init["busIds"]) == 6
+
+        env.step(env.action_space.sample() * 0)
+        env.render()
+        frame = json.loads(client.recv())
+        assert frame["messageLabel"] == "update"
+        assert len(frame["vMagn"]) == 6
+        assert all(np.isfinite(frame["pInjections"]))
+        client.close()
+    finally:
+        rmod.webbrowser.open = orig
+        env.close()
