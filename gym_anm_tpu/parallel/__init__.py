@@ -1,5 +1,13 @@
 """Multi-device parallelism: env-farm sharding and on-device learners."""
 
+from .cql import (
+    CQLConfig,
+    CQLState,
+    deterministic_action,
+    init_cql_state,
+    make_cql_update,
+    train_cql,
+)
 from .mesh import env_sharding, make_env_mesh, replicated, shard_env_state
 from .ppo import PPOConfig, TrainState, init_train_state, make_train_step
 
@@ -12,4 +20,10 @@ __all__ = [
     "TrainState",
     "init_train_state",
     "make_train_step",
+    "CQLConfig",
+    "CQLState",
+    "init_cql_state",
+    "make_cql_update",
+    "train_cql",
+    "deterministic_action",
 ]

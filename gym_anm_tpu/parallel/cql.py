@@ -1,0 +1,244 @@
+"""Conservative Q-Learning (CQL) — the offline-RL learner.
+
+Trains a policy purely from logged transition datasets (the pickles that
+``scripts/generate_final_offline_datasets.py`` and
+:mod:`gym_anm_tpu.offline_vec` produce) — the learning half of the offline
+pipeline whose data half the reference ships (its ``behavior_cloning`` at
+``gym_anm/offline.py:81-89`` is a least-squares linear policy; this is the
+deep counterpart).  No reference implementation exists; new first-class
+component per SURVEY.md §5/§7.
+
+Algorithm: SAC-style actor-critic with twin Q networks plus the CQL(H)
+regularizer — the log-sum-exp of Q over sampled actions (uniform + policy)
+pushed down against the dataset actions' Q pushed up — which keeps the
+learned Q conservative on out-of-distribution actions (Kumar et al. 2020).
+Actions are squashed to the env's box with tanh.
+
+Everything is pure JAX: the update is one jitted function over a minibatch,
+data-parallel under ``pjit`` by sharding the batch axis (parameters
+replicated; GSPMD inserts the psum over mean gradients).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ppo import adam_update, init_train_state as _init_ts, TrainState
+
+
+class CQLConfig(NamedTuple):
+    hidden: int = 128
+    lr: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005          # target-network Polyak rate
+    alpha: float = 0.2          # SAC entropy temperature
+    cql_weight: float = 5.0     # conservative penalty weight
+    n_cql_actions: int = 4      # sampled actions per side for the LSE
+
+
+def _dense(key, n_in, n_out, dtype):
+    w = jax.random.normal(key, (n_in, n_out), dtype) * jnp.sqrt(2.0 / n_in).astype(dtype)
+    return {"w": w, "b": jnp.zeros((n_out,), dtype)}
+
+
+def init_cql_params(key, obs_dim, act_dim, hidden=128, dtype=jnp.float32):
+    k = jax.random.split(key, 10)
+    q_net = lambda i: {
+        "l1": _dense(k[i], obs_dim + act_dim, hidden, dtype),
+        "l2": _dense(k[i + 1], hidden, hidden, dtype),
+        "out": _dense(k[i + 2], hidden, 1, dtype),
+    }
+    return {
+        "q1": q_net(0),
+        "q2": q_net(3),
+        "pi": {
+            "l1": _dense(k[6], obs_dim, hidden, dtype),
+            "l2": _dense(k[7], hidden, hidden, dtype),
+            "mu": _dense(k[8], hidden, act_dim, dtype),
+            "log_std": _dense(k[9], hidden, act_dim, dtype),
+        },
+    }
+
+
+def _mlp2(p, x):
+    x = jnp.tanh(x @ p["l1"]["w"] + p["l1"]["b"])
+    x = jnp.tanh(x @ p["l2"]["w"] + p["l2"]["b"])
+    return x
+
+
+def q_value(qp, obs, act):
+    h = _mlp2(qp, jnp.concatenate([obs, act], axis=-1))
+    return (h @ qp["out"]["w"] + qp["out"]["b"])[..., 0]
+
+
+def _policy_heads(pp, obs):
+    h = _mlp2(pp, obs)
+    mu = h @ pp["mu"]["w"] + pp["mu"]["b"]
+    log_std = jnp.clip(h @ pp["log_std"]["w"] + pp["log_std"]["b"], -5.0, 2.0)
+    return mu, log_std
+
+
+def sample_action(pp, key, obs, act_low, act_high):
+    """Tanh-squashed Gaussian sample mapped into the action box; returns
+    (action, log_prob) with the tanh Jacobian correction."""
+    mu, log_std = _policy_heads(pp, obs)
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    pre = mu + std * eps
+    tanh = jnp.tanh(pre)
+    logp = (-0.5 * (eps**2 + 2 * log_std + jnp.log(2 * jnp.pi))).sum(-1)
+    logp -= jnp.log(jnp.clip(1 - tanh**2, 1e-6)).sum(-1)
+    half = (act_high - act_low) / 2.0
+    action = (act_high + act_low) / 2.0 + half * tanh
+    logp -= jnp.log(jnp.clip(half, 1e-6)).sum()
+    return action, logp
+
+
+def deterministic_action(pp, obs, act_low, act_high):
+    mu, _ = _policy_heads(pp, obs)
+    return (act_high + act_low) / 2.0 + (act_high - act_low) / 2.0 * jnp.tanh(mu)
+
+
+class CQLState(NamedTuple):
+    train: TrainState       # online params + Adam moments
+    target_q: dict          # Polyak-averaged {"q1","q2"}
+
+
+def init_cql_state(key, obs_dim, act_dim, cfg: CQLConfig, dtype=jnp.float32):
+    params = init_cql_params(key, obs_dim, act_dim, cfg.hidden, dtype)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    ts = TrainState(params=params, opt_m=zeros,
+                    opt_v=jax.tree_util.tree_map(jnp.zeros_like, params),
+                    step=jnp.zeros((), jnp.int32))
+    return CQLState(train=ts, target_q={"q1": params["q1"], "q2": params["q2"]})
+
+
+def make_cql_update(cfg: CQLConfig, act_low, act_high):
+    """Build the jitted minibatch update:
+
+        (CQLState, key, batch) -> (CQLState', metrics)
+
+    batch = dict(obs [B,O], actions [B,A], rewards [B], next_obs [B,O],
+    dones [B]).  Shard the batch axis for data parallelism; the mean-loss
+    gradients reduce across devices automatically.
+    """
+    act_dim = act_low.shape[0]
+    span = act_high - act_low
+
+    def loss_fn(params, target_q, key, batch):
+        obs, acts = batch["obs"], batch["actions"]
+        rew, next_obs, dones = batch["rewards"], batch["next_obs"], batch["dones"]
+        B = obs.shape[0]
+        k_next, k_unif, k_pol, k_pol2, k_actor = jax.random.split(key, 5)
+
+        # --- Bellman targets from the target twins ----------------------
+        next_act, next_logp = sample_action(params["pi"], k_next, next_obs, act_low, act_high)
+        tq = jnp.minimum(
+            q_value(target_q["q1"], next_obs, next_act),
+            q_value(target_q["q2"], next_obs, next_act),
+        ) - cfg.alpha * next_logp
+        target = rew + cfg.gamma * (1.0 - dones) * tq
+        target = jax.lax.stop_gradient(target)
+
+        q1 = q_value(params["q1"], obs, acts)
+        q2 = q_value(params["q2"], obs, acts)
+        bellman = ((q1 - target) ** 2 + (q2 - target) ** 2).mean()
+
+        # --- CQL(H) conservative penalty --------------------------------
+        n = cfg.n_cql_actions
+        unif = act_low + span * jax.random.uniform(k_unif, (n, B, act_dim), obs.dtype)
+        pol, pol_logp = jax.vmap(
+            lambda k: sample_action(params["pi"], k, obs, act_low, act_high)
+        )(jax.random.split(k_pol, n))
+        # Importance weights: uniform density + policy density.
+        unif_logp = -jnp.log(jnp.clip(span, 1e-6)).sum()
+        cat_acts = jnp.concatenate([unif, pol], axis=0)                # [2n, B, A]
+        cat_logp = jnp.concatenate(
+            [jnp.full((n, B), unif_logp, obs.dtype), pol_logp], axis=0
+        )
+
+        def lse(qp):
+            qs = jax.vmap(lambda a: q_value(qp, obs, a))(cat_acts)      # [2n, B]
+            return jax.scipy.special.logsumexp(qs - cat_logp, axis=0) - jnp.log(
+                jnp.asarray(2 * n, obs.dtype)
+            )
+
+        cql = ((lse(params["q1"]) - q1).mean() + (lse(params["q2"]) - q2).mean())
+        critic_loss = bellman + cfg.cql_weight * cql
+
+        # --- actor (SAC objective against the conservative twins) -------
+        new_act, logp = sample_action(params["pi"], k_actor, obs, act_low, act_high)
+        q_new = jnp.minimum(
+            q_value(jax.lax.stop_gradient(params["q1"]), obs, new_act),
+            q_value(jax.lax.stop_gradient(params["q2"]), obs, new_act),
+        )
+        actor_loss = (cfg.alpha * logp - q_new).mean()
+
+        loss = critic_loss + actor_loss
+        metrics = {
+            "loss": loss, "bellman": bellman, "cql": cql,
+            "actor_loss": actor_loss, "q1_mean": q1.mean(),
+        }
+        return loss, metrics
+
+    def update(state: CQLState, key, batch):
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, state.target_q, key, batch), has_aux=True
+        )(state.train.params)
+        ts = adam_update(state.train, grads, cfg.lr)
+        target_q = jax.tree_util.tree_map(
+            lambda t, o: (1 - cfg.tau) * t + cfg.tau * o,
+            state.target_q,
+            {"q1": ts.params["q1"], "q2": ts.params["q2"]},
+        )
+        return CQLState(train=ts, target_q=target_q), metrics
+
+    return update
+
+
+def train_cql(key, dataset, act_low, act_high, cfg: CQLConfig = CQLConfig(),
+              steps: int = 1000, batch_size: int = 256):
+    """Convenience driver: train CQL on an in-memory dataset dict
+    (states/actions/rewards/next_states/dones, the script pickle schema).
+
+    Returns (CQLState, policy_fn) where policy_fn(obs) -> action is the
+    deterministic deployment policy.
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    obs = jnp.asarray(dataset["states"], jnp.float32)
+    data = {
+        "obs": obs,
+        "actions": jnp.asarray(dataset["actions"], jnp.float32),
+        "rewards": jnp.asarray(dataset["rewards"], jnp.float32),
+        "next_obs": jnp.asarray(dataset["next_states"], jnp.float32),
+        "dones": jnp.asarray(dataset["dones"], jnp.float32),
+    }
+    N = obs.shape[0]
+    act_low = jnp.asarray(act_low, jnp.float32)
+    act_high = jnp.asarray(act_high, jnp.float32)
+
+    k_init, key = jax.random.split(key)
+    state = init_cql_state(k_init, obs.shape[-1], act_low.shape[0], cfg)
+    update = make_cql_update(cfg, act_low, act_high)
+
+    @jax.jit
+    def step(state, key):
+        k_idx, k_up = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, N)
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        return update(state, k_up, batch)
+
+    metrics = None
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, k)
+
+    params = state.train.params
+
+    def policy_fn(o):
+        return deterministic_action(params["pi"], jnp.asarray(o, jnp.float32), act_low, act_high)
+
+    return state, metrics, policy_fn

@@ -1,0 +1,115 @@
+"""CQL offline learner: learning signal, conservatism, sharded update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.parallel import (
+    CQLConfig,
+    init_cql_state,
+    make_cql_update,
+    train_cql,
+)
+from gym_anm_tpu.parallel.cql import q_value, sample_action
+
+
+def _toy_dataset(n=2048, obs_dim=6, act_dim=3, seed=0):
+    """Bandit-like dataset: reward = -||a - a*(s)||²; optimal action is a
+    known linear map of the state, so a learner that improves must steer
+    actions toward a*."""
+    rng = np.random.RandomState(seed)
+    W = rng.randn(obs_dim, act_dim) * 0.3
+    obs = rng.randn(n, obs_dim).astype(np.float32)
+    a_star = np.tanh(obs @ W)
+    acts = np.clip(a_star + 0.5 * rng.randn(n, act_dim), -1, 1).astype(np.float32)
+    rew = -np.sum((acts - a_star) ** 2, axis=1).astype(np.float32)
+    return {
+        "states": obs, "actions": acts, "rewards": rew,
+        "next_states": rng.randn(n, obs_dim).astype(np.float32),
+        "dones": np.ones(n, np.float32),  # bandit: every transition terminal
+    }, W
+
+
+def test_cql_learns_toy_bandit():
+    data, W = _toy_dataset()
+    lo, hi = -np.ones(3, np.float32), np.ones(3, np.float32)
+    cfg = CQLConfig(hidden=64, lr=1e-3, cql_weight=1.0, gamma=0.0)
+    state, metrics, policy = train_cql(
+        jax.random.PRNGKey(0), data, lo, hi, cfg, steps=400, batch_size=256
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # The learned policy must beat the noisy behavior policy on the known
+    # reward function.
+    obs = data["states"][:512]
+    a_star = np.tanh(obs @ W)
+    r_pi = -np.sum((np.asarray(policy(obs)) - a_star) ** 2, axis=1).mean()
+    r_beh = -np.sum((data["actions"][:512] - a_star) ** 2, axis=1).mean()
+    assert r_pi > r_beh + 0.2, (r_pi, r_beh)
+
+
+def test_cql_penalty_is_conservative():
+    """With a large CQL weight, Q on out-of-distribution actions ends up
+    below Q on dataset actions."""
+    data, _ = _toy_dataset(n=1024)
+    lo, hi = -np.ones(3, np.float32), np.ones(3, np.float32)
+    cfg = CQLConfig(hidden=64, lr=1e-3, cql_weight=10.0, gamma=0.0)
+    state, metrics, _ = train_cql(
+        jax.random.PRNGKey(1), data, lo, hi, cfg, steps=300, batch_size=256
+    )
+    params = state.train.params
+    obs = jnp.asarray(data["states"][:256])
+    acts = jnp.asarray(data["actions"][:256])
+    q_data = q_value(params["q1"], obs, acts).mean()
+    rng = jax.random.PRNGKey(2)
+    q_ood = q_value(
+        params["q1"], obs, jax.random.uniform(rng, acts.shape, minval=-1, maxval=1)
+    ).mean()
+    assert float(q_data) > float(q_ood)
+
+
+def test_cql_update_under_sharding():
+    """The minibatch update runs under a batch-sharded jit on the 8-device
+    CPU mesh (data-parallel learner path)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    data, _ = _toy_dataset(n=512)
+    lo = jnp.asarray(-np.ones(3, np.float32))
+    hi = jnp.asarray(np.ones(3, np.float32))
+    cfg = CQLConfig(hidden=32)
+    state = init_cql_state(jax.random.PRNGKey(0), 6, 3, cfg)
+    update = make_cql_update(cfg, lo, hi)
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    batch = {
+        "obs": jax.device_put(jnp.asarray(data["states"][:256]), batch_sh),
+        "actions": jax.device_put(jnp.asarray(data["actions"][:256]), batch_sh),
+        "rewards": jax.device_put(jnp.asarray(data["rewards"][:256]), batch_sh),
+        "next_obs": jax.device_put(jnp.asarray(data["next_states"][:256]), batch_sh),
+        "dones": jax.device_put(jnp.asarray(data["dones"][:256]), batch_sh),
+    }
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    state2, metrics = jax.jit(update)(state, jax.random.PRNGKey(3), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # Parameters actually moved.
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.train.params, state2.train.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_policy_respects_action_box():
+    data, _ = _toy_dataset(n=256)
+    lo = np.array([0.0, -2.0, 0.9], np.float32)
+    hi = np.array([1.0, 2.0, 1.1], np.float32)
+    # Rescale dataset actions into the box so training is well-posed.
+    data["actions"] = (lo + hi) / 2 + data["actions"] * (hi - lo) / 2
+    cfg = CQLConfig(hidden=32)
+    _, _, policy = train_cql(jax.random.PRNGKey(0), data, lo, hi, cfg,
+                             steps=20, batch_size=128)
+    a = np.asarray(policy(data["states"][:64]))
+    assert np.all(a >= lo - 1e-5) and np.all(a <= hi + 1e-5)
