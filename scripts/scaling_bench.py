@@ -1,0 +1,105 @@
+"""Multi-device scaling-efficiency benchmark for the sharded env farm.
+
+Steps a fixed per-device batch of IEEE33 envs (weak scaling) over meshes of
+increasing size and reports throughput + efficiency vs the 1-device run.
+On a pod slice this measures real ICI scaling (the BASELINE gate is ≥80%
+efficiency at ≥2 hosts); on a single-chip or CPU machine pass ``--cpu`` to
+exercise the same sharded program over N virtual host devices (mechanism
+check, not a hardware number).
+
+Usage:  python scripts/scaling_bench.py [--cpu] [--per-device 1024]
+        [--steps 32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task  # noqa: E402
+
+
+def run_at(n_devices, per_device, n_steps, reps=3):
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devices), ("env",))
+    env_sh = NamedSharding(mesh, P("env"))
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    B = per_device * n_devices
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, obs = jax.jit(jax.vmap(env.reset), out_shardings=(env_sh, env_sh))(keys)
+    lo, hi = env.action_low, env.action_high
+
+    def rollout(state, obs, seed):
+        def body(carry, t):
+            st, obs = carry
+            k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
+            acts = lo + jax.random.uniform(k, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+            st, obs, r, d, _ = jax.vmap(env.step)(st, acts)
+            return (st, obs), r.sum()
+
+        (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))
+        return state, obs, rs.sum()
+
+    roll = jax.jit(rollout, in_shardings=(env_sh, env_sh, None),
+                   out_shardings=(env_sh, env_sh, None), donate_argnums=(0,))
+    state, obs, tot = roll(state, obs, 0)
+    jax.block_until_ready(tot)
+    t0 = time.perf_counter()
+    for r in range(reps):
+        state, obs, tot = roll(state, obs, r + 1)
+    jax.block_until_ready(tot)
+    dt = time.perf_counter() - t0
+    return B * n_steps * reps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="8 virtual CPU devices (mechanism check)")
+    ap.add_argument("--per-device", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=32)
+    args = ap.parse_args()
+    if args.per_device < 1 or args.steps < 1:
+        ap.error("--per-device and --steps must be >= 1")
+
+    n_avail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    print(f"devices available: {n_avail} ({jax.devices()[0].platform})")
+
+    base = None
+    results = []
+    for n in sizes:
+        sps = run_at(n, args.per_device, args.steps)
+        if base is None:
+            base = sps
+        eff = sps / (base * n)
+        results.append({"devices": n, "steps_per_s": round(sps, 1),
+                        "efficiency": round(eff, 3)})
+        print(f"  {n} device(s): {sps:,.0f} steps/s  "
+              f"(weak-scaling efficiency {eff:.1%})")
+
+    print(json.dumps({"metric": "ieee33_weak_scaling",
+                      "per_device_batch": args.per_device,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
