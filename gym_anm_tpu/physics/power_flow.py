@@ -340,6 +340,61 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     return x, F, diff, n_iter, accepted
 
 
+def nr_solve_lazy(ybus_fn, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:
+    """Exact-NR fallback whose admittance matrix is built INSIDE the loop
+    body by ``ybus_fn() -> (Yre, Yim)``.
+
+    With a chord warm start (``init``) the loop usually never executes, and
+    because Y only exists inside the body, XLA materializes no [B, N, N]
+    tensors at all on the fast path — the point of this variant.  Per
+    executed iteration the Y rebuild adds ~N² work on top of the Jacobian,
+    irrelevant for the rare fallback lanes.  Semantics identical to
+    :func:`nr_solve`.
+    """
+    assert init is not None, "nr_solve_lazy is the post-chord fallback; pass init"
+    x, F, diff, it0, accepted = init
+    dtype = p.dtype
+    n = p.shape[-1]
+
+    f32_mode = dtype != jnp.float64
+    stall_limit = 3
+    stall_tol = 10.0 * xtol
+
+    def cond(carry):
+        x, F, diff, it, stall = carry
+        active = jnp.logical_and(diff > xtol, it < lim_iter)
+        active = jnp.logical_and(active, jnp.logical_not(accepted))
+        if f32_mode:
+            active = jnp.logical_and(active, stall < stall_limit)
+        return active
+
+    def body(carry):
+        x, F, diff, it, stall = carry
+        Yre, Yim = ybus_fn()
+        _, (v_re, v_im, yv_re, yv_im) = _mismatch(x, p, q, Yre, Yim, n)
+        J = _jacobian(v_re, v_im, yv_re, yv_im, Yre, Yim, n)
+        linsolve = nr_linear_solve if f32_mode else solve_gauss_jordan
+        x = x - linsolve(J, F)
+        F, _ = _mismatch(x, p, q, Yre, Yim, n)
+        new_diff = jnp.max(jnp.abs(F))
+        improving = new_diff < diff * 0.5
+        stall = jnp.where(improving, 0, stall + 1)
+        return x, F, new_diff, it + 1, stall
+
+    x, F, diff, n_iter, stall = jax.lax.while_loop(
+        cond, body, (x, F, diff, it0.astype(jnp.int32), jnp.zeros((), jnp.int32))
+    )
+
+    v_re, v_im = _assemble_v(x[:n], x[n:], dtype)
+    converged = jnp.logical_not(jnp.isnan(diff))
+    ok = jnp.logical_or(diff <= xtol, accepted)
+    if f32_mode:
+        ok = jnp.logical_or(ok, jnp.logical_and(stall >= stall_limit, diff <= stall_tol))
+    stable = jnp.logical_and(converged, ok)
+    return NRResult(v_re=v_re, v_im=v_im, n_iter=n_iter, diff=diff,
+                    converged=converged, stable=stable)
+
+
 @partial(jax.jit, static_argnames=("xtol", "lim_iter"))
 def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:
     """Solve the power-flow equations for one network.

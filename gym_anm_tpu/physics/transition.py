@@ -22,7 +22,7 @@ import numpy as np
 
 from ..specs.network import NetworkSpec
 from .complexops import cmatvec
-from .power_flow import ChordConst, chord_solve, make_chord_const, nr_solve
+from .power_flow import ChordConst, chord_solve, make_chord_const, nr_solve, nr_solve_lazy
 from .projection import make_pair_indices, project_polytope_2d
 from .ybus import build_ybus
 
@@ -104,9 +104,11 @@ class GridTables(NamedTuple):
     # qualify (>1 OLTC, or an OLTC whose from-bus isn't the slack) — those
     # fall back to the exact NR loop.
     chord: ChordConst = None
-    # OLTC series admittance / shift / nominal tap, for the per-lane ΔY:
+    # OLTC series admittance / shunt / shift / nominal tap, for the
+    # per-lane ΔY entries (ybus.py:34-36):
     chord_y_re: float = 0.0
     chord_y_im: float = 0.0
+    chord_ysh: float = 0.0
     chord_shift: float = 0.0
     chord_a0: float = 1.0
     chord_has_oltc: bool = False
@@ -176,7 +178,7 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTabl
         jnp.asarray(spec.br_tap0, jnp.float64),
     )
     chord = None
-    chord_y_re = chord_y_im = chord_shift = 0.0
+    chord_y_re = chord_y_im = chord_ysh = chord_shift = 0.0
     chord_a0 = 1.0
     chord_has_oltc = False
     if spec.n_oltc == 0:
@@ -189,6 +191,7 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTabl
             chord = make_chord_const(Yre0, Yim0, t_bus=t_bus, dtype=np.dtype(dtype))
             chord_y_re = float(series.real[br])
             chord_y_im = float(series.imag[br])
+            chord_ysh = float(spec.br_b[br] / 2.0)
             chord_shift = float(spec.br_shift[br])
             chord_a0 = float(spec.br_tap0[br])
             chord_has_oltc = True
@@ -248,6 +251,7 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTabl
         chord=chord,
         chord_y_re=chord_y_re,
         chord_y_im=chord_y_im,
+        chord_ysh=chord_ysh,
         chord_shift=chord_shift,
         chord_a0=chord_a0,
         chord_has_oltc=chord_has_oltc,
@@ -401,34 +405,63 @@ def transition(
     bus_q = jnp.zeros(tb.n_bus, dtype=dt).at[tb.dev_bus].add(dev_q)
 
     # 7. Admittance matrix + Newton-Raphson solve (xtol 1e-5,
-    #    simulator.py:583-591).
-    Yre, Yim = build_ybus(
-        tb.n_bus, tb.br_f, tb.br_t, tb.series_re, tb.series_im,
-        tb.shunt_im, tb.shift_cos, tb.shift_sin, tap_magn,
-    )
+    #    simulator.py:583-591), then nodal currents I = YV
+    #    (solve_load_flow.py:54-60).
     p_ns = bus_p[tb.nonslack_bus]
     q_ns = bus_q[tb.nonslack_bus]
-    # f64 (parity tier): exact reference NR loop.  f32 (throughput tier):
-    # chord-Newton fast path (shared-matrix Woodbury iterations; see
-    # power_flow.chord_solve) with exact-NR fallback for rejected lanes.
-    init = None
-    if dt != np.float64 and tb.chord is not None:
-        if tb.chord_has_oltc:
-            # δ = ΔY[t,f] = −y·e^{−jθs}·(1/a − 1/a₀) for the lane's tap a.
-            inv_da = 1.0 / tap_new[0] - 1.0 / tb.chord_a0
-            cs, sn = np.cos(tb.chord_shift), np.sin(tb.chord_shift)
-            ye_re = tb.chord_y_re * cs + tb.chord_y_im * sn
-            ye_im = tb.chord_y_im * cs - tb.chord_y_re * sn
-            dtf_re = -ye_re * inv_da
-            dtf_im = -ye_im * inv_da
-        else:
-            dtf_re = dtf_im = jnp.zeros((), dt)
-        init = chord_solve(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
-    nr = nr_solve(Yre, Yim, p_ns, q_ns, xtol=1e-5, lim_iter=100, init=init)
 
-    # 8. Nodal currents I = YV; measured slack injection (NaN → +inf,
-    #    solve_load_flow.py:54-72).
-    i_re, i_im = cmatvec(Yre, Yim, nr.v_re, nr.v_im)
+    def ybus_now():
+        return build_ybus(
+            tb.n_bus, tb.br_f, tb.br_t, tb.series_re, tb.series_im,
+            tb.shunt_im, tb.shift_cos, tb.shift_sin, tap_magn,
+        )
+
+    if dt != np.float64 and tb.chord is not None:
+        # f32 throughput tier: chord-Newton fast path (shared-matrix
+        # Woodbury iterations, power_flow.chord_solve) + exact-NR fallback
+        # whose Y-bus is built lazily inside the loop body — so no
+        # [N, N]-per-lane tensor ever materializes on the fast path; even
+        # I = YV decomposes as Y0·V plus the 3-entry tap correction.
+        if tb.chord_has_oltc:
+            # ΔY entries for the lane's tap a vs nominal a0 (ybus.py:34-36):
+            #   δtf = −y·e^{−jθs}·(1/a − 1/a0),  δft = −y·e^{+jθs}·(…),
+            #   δff = (y + jb/2)·(1/a² − 1/a0²).
+            a = tap_new[0]
+            inv_da = 1.0 / a - 1.0 / tb.chord_a0
+            inv_da2 = 1.0 / (a * a) - 1.0 / (tb.chord_a0 * tb.chord_a0)
+            cs, sn = np.cos(tb.chord_shift), np.sin(tb.chord_shift)
+            dtf_re = -(tb.chord_y_re * cs + tb.chord_y_im * sn) * inv_da
+            dtf_im = -(tb.chord_y_im * cs - tb.chord_y_re * sn) * inv_da
+            dft_re = -(tb.chord_y_re * cs - tb.chord_y_im * sn) * inv_da
+            dft_im = -(tb.chord_y_im * cs + tb.chord_y_re * sn) * inv_da
+            dff_re = tb.chord_y_re * inv_da2
+            dff_im = (tb.chord_y_im + tb.chord_ysh) * inv_da2
+        else:
+            zero = jnp.zeros((), dt)
+            dtf_re = dtf_im = dft_re = dft_im = dff_re = dff_im = zero
+        init = chord_solve(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+        nr = nr_solve_lazy(ybus_now, p_ns, q_ns, xtol=1e-5, lim_iter=100, init=init)
+
+        t_bus = tb.chord.t_bus
+        i_re, i_im = cmatvec(
+            jnp.asarray(tb.chord.Y0re, dt), jnp.asarray(tb.chord.Y0im, dt),
+            nr.v_re, nr.v_im, precision=jax.lax.Precision.HIGHEST,
+        )
+        # (ΔY·V)_f = δff·V_f + δft·V_t with V_f = slack = 1+0j;
+        # (ΔY·V)_t = δtf·V_f = δtf.
+        vt_re, vt_im = nr.v_re[t_bus], nr.v_im[t_bus]
+        i_re = i_re.at[0].add(dff_re + dft_re * vt_re - dft_im * vt_im)
+        i_im = i_im.at[0].add(dff_im + dft_re * vt_im + dft_im * vt_re)
+        i_re = i_re.at[t_bus].add(dtf_re)
+        i_im = i_im.at[t_bus].add(dtf_im)
+    else:
+        # f64 parity tier (and non-qualifying topologies): the reference's
+        # exact loop over the materialized Y-bus.
+        Yre, Yim = ybus_now()
+        nr = nr_solve(Yre, Yim, p_ns, q_ns, xtol=1e-5, lim_iter=100)
+        i_re, i_im = cmatvec(Yre, Yim, nr.v_re, nr.v_im)
+
+    # 8. Measured slack injection (NaN → +inf, solve_load_flow.py:62-72).
     s_sl_re = nr.v_re[0] * i_re[0] + nr.v_im[0] * i_im[0]
     s_sl_im = nr.v_im[0] * i_re[0] - nr.v_re[0] * i_im[0]
     s_sl_re = jnp.where(jnp.isnan(s_sl_re), jnp.inf, s_sl_re)
