@@ -29,7 +29,7 @@ from .multicap_controllers import (
     L5_SwitchingAwareMPC,
     L5_TrueMPC,
 )
-from . import diversity_hierarchy, ready_hierarchy
+from . import algorithmic_hierarchy, diversity_hierarchy, ready_hierarchy
 
 __all__ = [
     "MPCAgent",
@@ -47,6 +47,7 @@ __all__ = [
     "L5_SwitchingAwareMPC",
     "L5_TrueMPC",
     "L5_EnhancedSwitchingAware",
+    "algorithmic_hierarchy",
     "diversity_hierarchy",
     "ready_hierarchy",
 ]

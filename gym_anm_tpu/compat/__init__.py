@@ -27,4 +27,8 @@ def __getattr__(name):
         from .ieee33_proper import IEEE33ProperEnvironment
 
         return IEEE33ProperEnvironment
+    if name == "FinalCorrectEnv":
+        from .ieee33_legacy import FinalCorrectEnv
+
+        return FinalCorrectEnv
     raise AttributeError(f"module 'gym_anm_tpu.compat' has no attribute {name!r}")

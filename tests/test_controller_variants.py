@@ -124,6 +124,75 @@ def test_proper_environment_fixes():
     assert total_mw == pytest.approx(3.715, rel=1e-6)
 
 
+ALGO = None  # filled lazily to avoid import cost when deselected
+
+
+def test_algorithmic_hierarchy_runs():
+    from gym_anm_tpu.agents import algorithmic_hierarchy as ah
+    from gym_anm_tpu.compat import IEEE33RenewableEnv
+
+    env = IEEE33RenewableEnv()
+    for cls in (ah.L0_RandomControl, ah.L1_BangBangControl,
+                ah.L2_ProportionalControl, ah.L3_PIControl,
+                ah.L4_MPCControl, ah.L5_HierarchicalMPCControl):
+        avg = _rollout(env, cls(env).act, steps=10)
+        assert np.isfinite(avg), cls.__name__
+
+
+def test_algorithmic_hierarchy_matches_reference(reference):
+    """Deterministic 13-dim algorithmic controllers produce the reference's
+    action sequences on fixed-seed rollouts."""
+    from gym_anm.agents.ieee33_controllers import algorithmic_hierarchy as ref_ah
+
+    from gym_anm_tpu.agents import algorithmic_hierarchy as ah
+    from gym_anm_tpu.compat import IEEE33RenewableEnv
+
+    ref_env_cls = __import__(
+        "gym_anm.envs.ieee33_env.ieee33_renewable_complete", fromlist=["IEEE33RenewableEnv"]
+    ).IEEE33RenewableEnv
+
+    for name in ("L2_ProportionalControl", "L3_PIControl",
+                 "L4_MPCControl", "L5_HierarchicalMPCControl"):
+        np.random.seed(3)
+        ref_env = ref_env_cls()
+        ref_env.reset(seed=3)
+        np.random.seed(3)
+        our_env = IEEE33RenewableEnv()
+        our_env.reset(seed=3)
+        ref_agent = getattr(ref_ah, name)(ref_env)
+        our_agent = getattr(ah, name)(our_env)
+        for t in range(15):
+            a_ref = np.asarray(ref_agent.act(ref_env), float)
+            a_our = np.asarray(our_agent.act(our_env), float)
+            np.testing.assert_allclose(a_our, a_ref, rtol=0, atol=1e-8,
+                                       err_msg=f"{name} diverged at step {t}")
+            a = np.clip(a_ref, ref_env.action_space.low, ref_env.action_space.high)
+            # Both envs draw next_vars noise from the GLOBAL numpy RNG
+            # (the fork's RNG regime, SURVEY §2.2(7)) — replay the same
+            # stream for each.
+            rng_state = np.random.get_state()
+            ref_env.step(a)
+            np.random.set_state(rng_state)
+            our_env.step(np.clip(a_our, our_env.action_space.low,
+                                 our_env.action_space.high))
+
+
+def test_final_correct_env():
+    from gym_anm_tpu.compat import FinalCorrectEnv
+
+    np.random.seed(0)
+    env = FinalCorrectEnv(load_scale=0.8)
+    env.reset(seed=0)
+    # next_vars returns true negative MW scaled by load_scale x time factor.
+    vars = env.next_vars(None)
+    sim = env.simulator
+    total_mw = -vars[: sim.N_load].sum()
+    nominal = sum(abs(d.p_min) for d in sim.devices.values() if d.type == -1) * sim.baseMVA
+    assert 0.7 * nominal * 0.8 < total_mw < 1.15 * nominal * 0.8
+    obs, r, term, trunc, info = env.step(env.action_space.sample())
+    assert np.isfinite(r)
+
+
 @pytest.mark.parametrize("ours_theirs", [
     ("ready", "L1_BangBang"),
     ("ready", "L2_Proportional"),
