@@ -123,7 +123,6 @@ class L4_RuleBasedExpert:
     def __init__(self, env):
         self.env = env
         self.voltage_history = deque(maxlen=10)
-        self.action_history = deque(maxlen=5)
 
     def act(self, env):
         v = _voltages(env.unwrapped.simulator)
@@ -170,8 +169,8 @@ class L4_RuleBasedExpert:
                 a[0:3], a[3:5] = 0.02, 0.04
             a[16] = np.clip(1.0 - error * 2, 0.95, 1.05)
 
-        if self.action_history:
-            self.action_history.append(a.copy())
+        # (The reference keeps an action_history deque whose append is
+        # guarded by its own emptiness — unreachable dead state; dropped.)
         return a
 
 

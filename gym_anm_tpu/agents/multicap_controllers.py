@@ -530,7 +530,15 @@ class L5_EnhancedSwitchingAware:
         for i in range(5):
             bus_v = v[min(i * 6, len(v) - 1)]
             a[5 + i] = 0.3 if bus_v < 0.98 else (-0.3 if bus_v > 1.02 else 0.0)
-        a[10:16] = self._caps(v, v_min, v_max, v_avg, problem)[:6]
+        caps = self._caps(v, v_min, v_max, v_avg, problem)
+        # Switch bookkeeping for EVERY control path (emergency/support/trim/
+        # all-off), so the per-size dwell intervals actually bind.
+        for i in range(self.num_caps):
+            on = caps[i] > 0
+            if on != bool(self.cap_switch_state[i]):
+                self.time_since_switch[i] = 0
+                self.cap_switch_state[i] = int(on)
+        a[10:16] = caps[:6]
         a[16] = self._oltc(v_min, v_max)
         # Envs assert containment rather than clipping (anm_env.py:356-357);
         # agents clip themselves (the convention set by mpc.py:341).
@@ -613,11 +621,6 @@ class L5_EnhancedSwitchingAware:
                     if self._ready(i):
                         out[i] = 0.4 * self.cap_ratings[i] / 10
                         break
-        for i in range(self.num_caps):
-            on = out[i] > 0
-            if on != bool(self.cap_switch_state[i]):
-                self.time_since_switch[i] = 0
-                self.cap_switch_state[i] = int(on)
         return out
 
     def _oltc(self, v_min, v_max):

@@ -147,11 +147,16 @@ def make_cql_update(cfg: CQLConfig, act_low, act_high):
         bellman = ((q1 - target) ** 2 + (q2 - target) ** 2).mean()
 
         # --- CQL(H) conservative penalty --------------------------------
+        # The penalty trains the CRITICS only: the policy-sampled actions
+        # are stop-gradiented so pushing their Q down cannot backprop into
+        # the actor (which would fight the SAC actor objective).
         n = cfg.n_cql_actions
         unif = act_low + span * jax.random.uniform(k_unif, (n, B, act_dim), obs.dtype)
         pol, pol_logp = jax.vmap(
             lambda k: sample_action(params["pi"], k, obs, act_low, act_high)
         )(jax.random.split(k_pol, n))
+        pol = jax.lax.stop_gradient(pol)
+        pol_logp = jax.lax.stop_gradient(pol_logp)
         # Importance weights: uniform density + policy density.
         unif_logp = -jnp.log(jnp.clip(span, 1e-6)).sum()
         cat_acts = jnp.concatenate([unif, pol], axis=0)                # [2n, B, A]

@@ -332,11 +332,18 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         best = jnp.minimum(best, new_diff)
         return x, F, new_diff, best, it + 1, stall
 
-    x, F, diff, _, n_iter, _ = jax.lax.while_loop(
+    x, F, diff, _, n_iter, stall = jax.lax.while_loop(
         cond, body,
         (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
     )
-    accepted = diff <= stall_tol_factor * xtol
+    # Accept at xtol, or at the plateau tolerance only when the lane
+    # actually plateaued (stall-limit exit).  A lane that hits lim_iter
+    # while still improving is NOT accepted — it proceeds to the exact-NR
+    # polish, matching nr_solve's f32 rule.
+    accepted = jnp.logical_or(
+        diff <= xtol,
+        jnp.logical_and(stall >= stall_limit, diff <= stall_tol_factor * xtol),
+    )
     return x, F, diff, n_iter, accepted
 
 

@@ -429,7 +429,12 @@ def transition(
             a = tap_new[0]
             inv_da = 1.0 / a - 1.0 / tb.chord_a0
             inv_da2 = 1.0 / (a * a) - 1.0 / (tb.chord_a0 * tb.chord_a0)
-            cs, sn = np.cos(tb.chord_shift), np.sin(tb.chord_shift)
+            # math.cos/sin give weakly-typed Python floats; np.cos would
+            # return strong f64 scalars that (under jax_enable_x64) promote
+            # every delta to float64 and poison the f32 scatters.
+            import math
+
+            cs, sn = math.cos(tb.chord_shift), math.sin(tb.chord_shift)
             dtf_re = -(tb.chord_y_re * cs + tb.chord_y_im * sn) * inv_da
             dtf_im = -(tb.chord_y_im * cs - tb.chord_y_re * sn) * inv_da
             dft_re = -(tb.chord_y_re * cs - tb.chord_y_im * sn) * inv_da

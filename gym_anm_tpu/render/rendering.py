@@ -43,13 +43,16 @@ def feeder_layout(n_bus, branch_from, branch_to, slack=0):
                     order.append(v)
                     nxt.append(v)
         frontier = nxt
-    for i in range(n_bus):  # disconnected buses (shouldn't happen) at x=0
-        depth.setdefault(i, 0)
+    # Disconnected buses (shouldn't happen in a valid grid) land at x=0,
+    # after the BFS-reached ones so every bus gets a coordinate.
+    missing = [i for i in range(n_bus) if i not in depth]
+    for i in missing:
+        depth[i] = 0
     max_d = max(depth.values()) or 1
     # y: position within each depth level, stable by BFS order.
     by_level = {}
     coords = [None] * n_bus
-    for v in order + [i for i in range(n_bus) if i not in depth]:
+    for v in order + missing:
         lvl = depth[v]
         k = by_level.get(lvl, 0)
         by_level[lvl] = k + 1

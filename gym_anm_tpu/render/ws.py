@@ -15,6 +15,7 @@ reference's ``update()`` cost a TCP handshake per step).
 import base64
 import hashlib
 import json
+import queue
 import socket
 import struct
 import threading
@@ -129,10 +130,17 @@ class WsServer:
             threading.Thread(target=self._serve_client, args=(conn,), daemon=True).start()
 
     def _serve_client(self, conn):
+        client = None
         try:
+            conn.settimeout(10.0)  # bound half-open handshakes
             request = b""
             while b"\r\n\r\n" not in request:
-                request += conn.recv(4096)
+                chunk = conn.recv(4096)
+                if not chunk:  # EOF before the header terminator
+                    conn.close()
+                    return
+                request += chunk
+            conn.settimeout(None)
             headers, _, leftover = request.partition(b"\r\n\r\n")
             key = None
             for line in headers.decode("latin1").split("\r\n"):
@@ -143,32 +151,60 @@ class WsServer:
                 return
             conn.sendall(handshake_response(key))
             conn = _BufferedSock(conn, leftover)
+            # Decouple slow readers from the publisher: frames go through a
+            # bounded per-client queue drained by a writer thread, so a
+            # frozen browser tab can never block the env's broadcast()
+            # (sendall under a shared lock would).  When the queue fills,
+            # old frames are dropped — rendering frames are disposable.
+            outbox = queue.Queue(maxsize=64)
+            client = (conn, outbox)
+            threading.Thread(target=self._writer, args=(conn, outbox), daemon=True).start()
             with self._lock:
-                self._clients.append(conn)
+                self._clients.append(client)
                 if self._last_init is not None:
-                    conn.sendall(encode_frame(self._last_init))
+                    outbox.put(self._last_init)
             # Service pings/closes from this client.
             while self._running:
                 opcode, payload = decode_frame(conn)
                 if opcode == 0x8:  # close
                     break
-                if opcode == 0x9:  # ping -> pong
-                    conn.sendall(encode_frame(payload, opcode=0xA))
+                if opcode == 0x9:  # ping -> pong (pre-framed)
+                    outbox.put(("raw", encode_frame(payload, opcode=0xA)))
                 # Text messages from clients are relayed like the reference
                 # hub does (servers.py:47-60) — the browser never sends any,
                 # but an env-side client may.
                 if opcode == 0x1:
-                    self._relay(payload, exclude=conn)
+                    self._relay(payload, exclude=client)
         except (ConnectionError, OSError):
             pass
         finally:
-            with self._lock:
-                if conn in self._clients:
-                    self._clients.remove(conn)
+            self._drop(client)
             try:
                 conn.close()
             except OSError:
                 pass
+
+    def _writer(self, conn, outbox):
+        while self._running:
+            item = outbox.get()
+            if item is None:  # shutdown sentinel
+                return
+            try:
+                data = item[1] if isinstance(item, tuple) else encode_frame(item)
+                conn.sendall(data)
+            except OSError:
+                return
+
+    def _drop(self, client):
+        if client is None:
+            return
+        with self._lock:
+            if client in self._clients:
+                self._clients.remove(client)
+        try:
+            client[1].put_nowait(None)
+        except queue.Full:
+            pass
 
     def _relay(self, payload: bytes, exclude=None):
         try:
@@ -178,16 +214,16 @@ class WsServer:
         except (ValueError, UnicodeDecodeError):
             pass
         with self._lock:
-            dead = []
-            for c in self._clients:
-                if c is exclude:
-                    continue
-                try:
-                    c.sendall(encode_frame(payload))
-                except OSError:
-                    dead.append(c)
-            for c in dead:
-                self._clients.remove(c)
+            targets = [c for c in self._clients if c is not exclude]
+        for c in targets:
+            try:
+                c[1].put_nowait(payload)
+            except queue.Full:
+                try:  # drop the oldest frame, keep the newest
+                    c[1].get_nowait()
+                    c[1].put_nowait(payload)
+                except (queue.Empty, queue.Full):
+                    pass
 
     # -- env side -------------------------------------------------------
     def broadcast(self, message: str):
@@ -201,9 +237,13 @@ class WsServer:
         except OSError:
             pass
         with self._lock:
-            for c in self._clients:
+            for conn, outbox in self._clients:
                 try:
-                    c.close()
+                    outbox.put_nowait(None)
+                except queue.Full:
+                    pass
+                try:
+                    conn.close()
                 except OSError:
                     pass
             self._clients.clear()
@@ -226,7 +266,10 @@ class WsClient:
         )
         resp = b""
         while b"\r\n\r\n" not in resp:
-            resp += self.sock.recv(4096)
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("server closed during handshake")
+            resp += chunk
         if b"101" not in resp.split(b"\r\n", 1)[0]:
             raise ConnectionError(f"handshake failed: {resp[:120]!r}")
         leftover = resp.partition(b"\r\n\r\n")[2]
