@@ -1,0 +1,98 @@
+"""Online RL: data-parallel PPO over a sharded IEEE33 env farm.
+
+The BASELINE "config 5" entry point: the environment batch shards over the
+device mesh's ``env`` axis, parameters replicate, and the whole training
+step (on-device rollout -> GAE -> clipped-surrogate update) is one jitted
+function whose mean-gradient reductions lower to psum collectives.
+
+Usage:  python scripts/train_ppo_online.py [--lanes-per-device 512]
+        [--iters 50] [--rollout 16] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from gym_anm_tpu.parallel import (  # noqa: E402
+    PPOConfig,
+    init_train_state,
+    make_env_mesh,
+    make_train_step,
+)
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes-per-device", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--rollout", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="8 virtual CPU devices (mechanism check)")
+    args = ap.parse_args()
+    if args.lanes_per_device < 1 or args.iters < 1:
+        ap.error("--lanes-per-device and --iters must be >= 1")
+
+    devices = jax.devices()
+    mesh = make_env_mesh(devices)
+    env_sh = NamedSharding(mesh, P("env"))
+    rep_sh = NamedSharding(mesh, P())
+    B = args.lanes_per_device * len(devices)
+    print(f"{len(devices)} device(s) ({devices[0].platform}), batch {B}")
+
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    cfg = PPOConfig(rollout_len=args.rollout)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, obs = jax.jit(jax.vmap(env.reset), out_shardings=(env_sh, env_sh))(keys)
+    ts = init_train_state(jax.random.PRNGKey(1), env.n_state, env.n_action, cfg)
+    ts = jax.device_put(ts, rep_sh)
+
+    train_step = jax.jit(
+        make_train_step(env, cfg),
+        in_shardings=(rep_sh, env_sh, env_sh),
+        out_shardings=(rep_sh, env_sh, env_sh, rep_sh),
+        donate_argnums=(1, 2),
+    )
+
+    t0 = time.perf_counter()
+    first_rew = None
+    for it in range(args.iters):
+        ts, state, obs, metrics = train_step(ts, state, obs)
+        if it == 0:
+            jax.block_until_ready(metrics)
+            print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+        if it % max(1, args.iters // 10) == 0 or it == args.iters - 1:
+            m = jax.device_get(metrics)
+            if first_rew is None:
+                first_rew = float(m["mean_reward"]) if "mean_reward" in m else None
+            line = f"iter {it:4d}  loss {float(m['loss']):+.4f}"
+            if "mean_reward" in m:
+                line += f"  reward {float(m['mean_reward']):+.4f}"
+            print(line)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    steps = (args.iters - 1) * B * args.rollout
+    print(f"throughput: {steps / dt:,.0f} env-steps/s (train loop, "
+          f"{len(devices)} device(s))")
+
+
+if __name__ == "__main__":
+    main()
