@@ -190,7 +190,7 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
             "loss": loss,
             "pg_loss": pg_loss,
             "v_loss": v_loss,
-            "mean_reward": rew_T.mean() * 100.0,
+            "mean_reward": rew_T.mean() * 100.0,  # undo critic scaling: raw env reward
             "done_rate": done_T.mean(),
         }
         return ts, state2, obs2, metrics
