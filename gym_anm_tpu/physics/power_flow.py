@@ -256,7 +256,7 @@ def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32) -> ChordConst:
 
 
 def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
-                xtol=1e-5, lim_iter=48, stall_tol_factor=10.0):
+                xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
     """Chord-Newton phase of the load-flow solve (single lane; vmap it).
 
     Parameters
@@ -269,6 +269,10 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         (ΔY·V)_t = δ·V_slack = δ (slack pinned at 1+0j).
     const : :class:`ChordConst` — shared matrices (closed over at trace
         time).
+    x0 : optional [2(N−1)] — warm-start iterate (e.g. the previous step's
+        solution); lanes whose guess contains non-finite entries fall back
+        to the flat start.  The fixed point is guess-independent (stopping
+        on the true residual), so this only changes iteration counts.
 
     Returns ``(x, F, diff, n_iter, accepted)`` — a warm start for
     :func:`nr_solve`; ``accepted`` lanes already satisfy the residual
@@ -306,7 +310,11 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         s_im = v_im * yv_re - v_re * yv_im
         return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
 
-    x0 = jnp.concatenate([jnp.zeros(n, dtype=dtype), jnp.ones(n, dtype=dtype)])
+    flat = jnp.concatenate([jnp.zeros(n, dtype=dtype), jnp.ones(n, dtype=dtype)])
+    if x0 is None:
+        x0 = flat
+    else:
+        x0 = jnp.where(jnp.all(jnp.isfinite(x0)), x0.astype(dtype), flat)
     F0 = mismatch(x0)
     diff0 = jnp.max(jnp.abs(F0))
 

@@ -289,6 +289,14 @@ class TransitionOut(NamedTuple):
     diff: jax.Array
 
 
+def solution_guess(out: TransitionOut):
+    """[θ₁.., |V|₁..] of a solved state — the warm start for the next
+    step's chord solve (pass as ``transition(..., x_guess=...)``)."""
+    theta = jnp.arctan2(out.bus_v_im[1:], out.bus_v_re[1:])
+    vm = jnp.sqrt(out.bus_v_re[1:] ** 2 + out.bus_v_im[1:] ** 2)
+    return jnp.concatenate([theta, vm])
+
+
 def branch_flows(tb: GridTables, v_re, v_im, tap_magn):
     """Directed branch currents and power flows
     (branch.py:153-198, vectorized)."""
@@ -349,6 +357,7 @@ def transition(
     tap_set,       # [n_oltc]  absolute tap ratios
     soc,           # [n_des]   p.u. state of charge (previous)
     rates,         # [n_branch] p.u. branch rates (dynamic: envs mutate them)
+    x_guess=None,  # [2(n_bus-1)] warm start for the f32 chord solve, or None
 ) -> TransitionOut:
     """One full grid transition.  Pure; vmap over a leading batch axis."""
     dt = tb.dtype
@@ -444,7 +453,8 @@ def transition(
         else:
             zero = jnp.zeros((), dt)
             dtf_re = dtf_im = dft_re = dft_im = dff_re = dff_im = zero
-        init = chord_solve(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+        init = chord_solve(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord,
+                           x0=x_guess)
         nr = nr_solve_lazy(ybus_now, p_ns, q_ns, xtol=1e-5, lim_iter=100, init=init)
 
         t_bus = tb.chord.t_bus

@@ -68,10 +68,12 @@ def vector_to_env_state(env, s0, key=None, oltc_tap=None):
      soc_seed, soc_mwh, aux) = env._decode_s0(s0)
     out = env._run_transition(P_load, P_max, P_gen, Q_gen, P_des, Q_des, Q_cap,
                               oltc_tap, soc_seed)
+    from ..physics.transition import solution_guess
     from ..vec.core import EnvState
 
     k_task, key = jax.random.split(key)
     return EnvState(
+        v_guess=solution_guess(out),
         key=key,
         soc=soc_mwh / env.tables.baseMVA,
         oltc_tap=out.oltc_tap,

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..physics.transition import GridTables, make_tables, transition
+from ..physics.transition import GridTables, make_tables, solution_guess, transition
 from ..specs.network import NetworkSpec, load_network
 
 
@@ -44,6 +44,10 @@ class EnvState(NamedTuple):
     task: Any               # task-specific carry (e.g. hour-of-day)
     terminated: jax.Array   # bool
     t: jax.Array            # int32 timestep
+    # Previous solve's [θ₁.., |V|₁..] — warm start for the f32 chord solver
+    # (successive grid states are close, halving iteration counts).  The
+    # solver falls back to flat start when entries are non-finite.
+    v_guess: jax.Array      # [2·(n_bus−1)]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,14 +163,14 @@ class VecEnv:
 
     # ------------------------------------------------------------------
     def _run_transition(self, P_load, P_pot, P_gen, Q_gen, P_des, Q_des, Q_cap,
-                        taps, soc):
+                        taps, soc, x_guess=None):
         return transition(
             self.tables,
             P_load.astype(self.dtype), P_pot.astype(self.dtype),
             P_gen.astype(self.dtype), Q_gen.astype(self.dtype),
             P_des.astype(self.dtype), Q_des.astype(self.dtype),
             Q_cap.astype(self.dtype), taps.astype(self.dtype),
-            soc.astype(self.dtype), self._rates,
+            soc.astype(self.dtype), self._rates, x_guess=x_guess,
         )
 
     def _decode_s0(self, s0):
@@ -241,6 +245,7 @@ class VecEnv:
             task=task_carry,
             terminated=jnp.logical_not(out.stable),
             t=jnp.zeros((), jnp.int32),
+            v_guess=solution_guess(out),
         )
         s_vec = self._state_vector(out.dev_p, out.dev_q, soc, out.gen_p_pot, aux)
         return state, self.observation(s_vec)
@@ -261,7 +266,7 @@ class VecEnv:
         P_gen, Q_gen, P_des, Q_des, Q_cap, taps = self.split_action(action)
 
         out = self._run_transition(P_load, P_pot, P_gen, Q_gen, P_des, Q_des,
-                                   Q_cap, taps, state.soc)
+                                   Q_cap, taps, state.soc, x_guess=state.v_guess)
 
         terminated = jnp.logical_not(out.stable)
         c1, c2 = self.costs_clipping
@@ -286,6 +291,9 @@ class VecEnv:
             task=task_carry,
             terminated=now_terminated,
             t=state.t + 1,
+            # Keep the last STABLE solution as the next warm start: a
+            # diverged solve's iterate would poison subsequent solves.
+            v_guess=jnp.where(out.stable, solution_guess(out), state.v_guess),
         )
         s_vec = self._state_vector(out.dev_p, out.dev_q, out.des_soc, out.gen_p_pot,
                                    aux.astype(self.dtype))
