@@ -130,6 +130,37 @@ def test_chord_matches_nr_solution(env64):
     np.testing.assert_allclose(np.asarray(vi_c), np.asarray(vi_n), rtol=0, atol=5e-6)
 
 
+def test_warm_start_guess_independent(env64):
+    """Chained f32 warm starts reach the same solutions as flat-start f64,
+    and poisoned (non-finite) guesses fall back to flat start."""
+    env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    B = 32
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    s32, _ = jax.jit(jax.vmap(env32.reset))(keys)
+    s64, _ = jax.jit(jax.vmap(env64.reset))(keys)
+    step32 = jax.jit(jax.vmap(env32.step))
+    step64 = jax.jit(jax.vmap(env64.step))
+    key = jax.random.PRNGKey(2)
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        a = env32.action_low + jax.random.uniform(
+            k, (B, env32.n_action)) * (env32.action_high - env32.action_low)
+        s32, *_ = step32(s32, a)
+        s64, *_ = step64(s64, a.astype(jnp.float64))
+        np.testing.assert_allclose(np.asarray(s32.bus_vm),
+                                   np.asarray(s64.bus_vm, np.float32),
+                                   rtol=0, atol=5e-5)
+
+    poisoned = s32._replace(
+        v_guess=s32.v_guess.at[0].set(jnp.nan).at[1, :5].set(jnp.inf))
+    a = jnp.broadcast_to((env32.action_low + env32.action_high) / 2,
+                         (B, env32.n_action))
+    _, obs, _, done, info = step32(poisoned, a)
+    assert float(info["diff"][:2].max()) <= 1e-4
+    assert not bool(done[:2].any())
+    assert bool(jnp.isfinite(obs).all())
+
+
 def test_f32_step_matches_f64(env64):
     """The f32 step (chord path) agrees with the f64 step (exact NR) on
     rewards and voltages to f32 solver tolerance."""
