@@ -29,7 +29,12 @@ from .multicap_controllers import (
     L5_SwitchingAwareMPC,
     L5_TrueMPC,
 )
-from . import algorithmic_hierarchy, diversity_hierarchy, ready_hierarchy
+from . import (
+    algorithmic_hierarchy,
+    diversity_hierarchy,
+    experimental_hierarchies,
+    ready_hierarchy,
+)
 
 __all__ = [
     "MPCAgent",
@@ -49,5 +54,6 @@ __all__ = [
     "L5_EnhancedSwitchingAware",
     "algorithmic_hierarchy",
     "diversity_hierarchy",
+    "experimental_hierarchies",
     "ready_hierarchy",
 ]

@@ -177,6 +177,51 @@ def test_algorithmic_hierarchy_matches_reference(reference):
                                  our_env.action_space.high))
 
 
+@pytest.mark.parametrize("prefix,names", [
+    ("improved_hierarchy", ["ImprovedL1_Basic", "ImprovedL2_VoltageReactive",
+                            "ImprovedL3_SingleDevice", "ImprovedL4_MultiDevice",
+                            "ImprovedL5_Optimal"]),
+    ("final_hierarchy", ["FinalL1_Minimal", "FinalL2_Reactive",
+                         "FinalL3_SingleDevice", "FinalL4_MultiDevice",
+                         "FinalL5_Optimal"]),
+    ("modified_hierarchy", ["ModifiedL1_Conservative", "ModifiedL2_Wasteful",
+                            "ModifiedL3_Aggressive", "ModifiedL4_Uncoordinated",
+                            "ModifiedL5_Smart"]),
+], ids=lambda p: p[0] if isinstance(p, tuple) else str(p))
+def test_experimental_hierarchies_match_reference(prefix, names, reference):
+    """The Improved/Final/Modified sets produce the reference's action
+    sequences on fixed-seed rollouts."""
+    import importlib
+
+    ref_mod = importlib.import_module(f"gym_anm.agents.ieee33_controllers.{prefix}")
+    from gym_anm_tpu.agents import experimental_hierarchies as eh
+    from gym_anm_tpu.compat import IEEE33RenewableEnv
+
+    ref_env_cls = importlib.import_module(
+        "gym_anm.envs.ieee33_env.ieee33_renewable_complete").IEEE33RenewableEnv
+
+    for name in names:
+        np.random.seed(11)
+        ref_env = ref_env_cls()
+        ref_env.reset(seed=11)
+        np.random.seed(11)
+        our_env = IEEE33RenewableEnv()
+        our_env.reset(seed=11)
+        ref_agent = getattr(ref_mod, name)(ref_env)
+        our_agent = getattr(eh, name)(our_env)
+        for t in range(12):
+            a_ref = np.asarray(ref_agent.act(ref_env), float)
+            a_our = np.asarray(our_agent.act(our_env), float)
+            np.testing.assert_allclose(a_our, a_ref, rtol=0, atol=1e-8,
+                                       err_msg=f"{name} diverged at step {t}")
+            rng_state = np.random.get_state()
+            ref_env.step(np.clip(a_ref, ref_env.action_space.low,
+                                 ref_env.action_space.high))
+            np.random.set_state(rng_state)
+            our_env.step(np.clip(a_our, our_env.action_space.low,
+                                 our_env.action_space.high))
+
+
 def test_final_correct_env():
     from gym_anm_tpu.compat import FinalCorrectEnv
 
