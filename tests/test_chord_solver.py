@@ -161,6 +161,42 @@ def test_warm_start_guess_independent(env64):
     assert bool(jnp.isfinite(obs).all())
 
 
+@pytest.mark.parametrize("task_name", ["renewable", "multicap", "anm6easy"])
+def test_f32_solver_health_across_tasks(task_name):
+    """The f32 fast path stays within the acceptance residual and produces
+    finite physics on every shipped task family.
+
+    (A direct f32-vs-f64 trajectory comparison is only valid for
+    deterministic tasks — stochastic next_vars hooks draw jax.random noise
+    in their own dtype, so the tiers legitimately see different loads.
+    Deterministic cross-checks live in test_warm_start_guess_independent.)
+    """
+    from gym_anm_tpu.vec import (
+        make_anm6easy_task,
+        make_ieee33_multicap_task,
+        make_ieee33_renewable_task,
+    )
+
+    task = {"renewable": make_ieee33_renewable_task,
+            "multicap": make_ieee33_multicap_task,
+            "anm6easy": make_anm6easy_task}[task_name]()
+    env = VecEnv(task, dtype=jnp.float32)
+    B = 32
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    a = jnp.broadcast_to((env.action_low + env.action_high) / 2, (B, env.n_action))
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(4):
+        state, obs, r, done, info = step(state, a)
+        live = ~np.asarray(done)
+        assert live.any()
+        assert np.asarray(info["diff"])[live].max() <= 1e-4
+        assert np.isfinite(np.asarray(obs)).all()
+        assert np.isfinite(np.asarray(r)).all()
+        vm = np.asarray(state.bus_vm)[live]
+        assert (vm > 0.5).all() and (vm < 1.5).all()
+
+
 def test_f32_step_matches_f64(env64):
     """The f32 step (chord path) agrees with the f64 step (exact NR) on
     rewards and voltages to f32 solver tolerance."""
