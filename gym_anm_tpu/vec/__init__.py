@@ -1,4 +1,8 @@
-"""Vectorized pure-functional environment tier (jit/vmap/shard_map-ready)."""
+"""Vectorized pure-functional environment tier (jit/vmap/shard_map-ready).
+
+Submodules: :mod:`.controllers` (on-device L0-L5 suite), :mod:`.experts`
+(on-device heuristic expert zoo), :mod:`.tasks` (task factories).
+"""
 
 from .core import EnvState, VecEnv, VecTask
 from .tasks import (

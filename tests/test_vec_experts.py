@@ -1,0 +1,86 @@
+"""On-device expert zoo: behavior parity with the host heuristics and
+mixed-dataset integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.offline_vec import generate_mixed_dataset_vec
+from gym_anm_tpu.vec import VecEnv, make_ieee33_renewable_task
+from gym_anm_tpu.vec.experts import (
+    make_cap_bank_expert,
+    make_combined_expert,
+    make_do_nothing_expert,
+    make_expert_zoo,
+    make_hysteresis_cap_expert,
+    make_oltc_expert,
+    make_renewable_expert,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return VecEnv(make_ieee33_renewable_task(), dtype=jnp.float32)
+
+
+def _run(env, ctrl, steps=6, lanes=8):
+    keys = jax.random.split(jax.random.PRNGKey(0), lanes)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    carry = jax.vmap(ctrl.init_carry)(jax.random.split(jax.random.PRNGKey(1), lanes))
+    step = jax.jit(jax.vmap(env.step))
+    act = jax.jit(jax.vmap(ctrl.act))
+    rs = []
+    for t in range(steps):
+        k = jax.random.split(jax.random.PRNGKey(t), lanes)
+        a, carry = act(k, state, obs, carry)
+        a = jnp.clip(a, env.action_low, env.action_high)
+        state, obs, r, d, info = step(state, a)
+        rs.append(np.asarray(r))
+    return state, np.stack(rs)
+
+
+def test_all_experts_run(env):
+    for ctrl in make_expert_zoo(env):
+        state, rs = _run(env, ctrl, steps=3)
+        assert np.isfinite(rs).all(), ctrl.name
+        assert not np.asarray(state.terminated).any(), ctrl.name
+
+
+def test_threshold_semantics(env):
+    """Cap expert injects q_max under forced low voltage and 0 in band."""
+    ctrl = make_cap_bank_expert(env)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    sl = env._action_slices["Q_cap"]
+
+    low_v = state._replace(bus_vm=jnp.full_like(state.bus_vm, 0.95))
+    a, _ = jax.vmap(ctrl.act)(keys, low_v, obs, jax.vmap(ctrl.init_carry)(keys))
+    assert np.all(np.asarray(a[:, sl]) > 0)
+
+    ok_v = state._replace(bus_vm=jnp.full_like(state.bus_vm, 1.0))
+    a, _ = jax.vmap(ctrl.act)(keys, ok_v, obs, jax.vmap(ctrl.init_carry)(keys))
+    np.testing.assert_allclose(np.asarray(a[:, sl]), 0.0)
+
+
+def test_hysteresis_holds_state(env):
+    ctrl = make_hysteresis_cap_expert(env)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    carry = jax.vmap(ctrl.init_carry)(keys)
+    low = state._replace(bus_vm=jnp.full_like(state.bus_vm, 0.95))
+    a1, carry = jax.vmap(ctrl.act)(keys, low, obs, carry)     # switch on
+    mid = state._replace(bus_vm=jnp.full_like(state.bus_vm, 1.0))
+    a2, carry = jax.vmap(ctrl.act)(keys, mid, obs, carry)     # hold (in band)
+    sl = env._action_slices["Q_cap"]
+    np.testing.assert_allclose(np.asarray(a2[:, sl]), np.asarray(a1[:, sl]))
+
+
+def test_mixed_expert_dataset(env):
+    zoo = [make_do_nothing_expert(env), make_combined_expert(env),
+           make_renewable_expert(env), make_oltc_expert(env)]
+    (obs, acts, rews, next_obs, dones), assignment = generate_mixed_dataset_vec(
+        env, zoo, jax.random.PRNGKey(0), batch=16, steps=8)
+    assert obs.shape[:2] == (8, 16)
+    assert np.isfinite(np.asarray(rews)).all()
+    assert set(np.asarray(assignment)) <= set(range(len(zoo)))
