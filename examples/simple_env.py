@@ -6,10 +6,15 @@ Equivalent of the reference's ``examples/simple_env.py``: slack generator
 configuration from BASELINE.json.
 """
 
+import os
+import sys
+
 import numpy as np
 
-from gym_anm_tpu.compat import ANMEnv
-from gym_anm_tpu.networks import two_bus_network
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from gym_anm_tpu.compat import ANMEnv  # noqa: E402
+from gym_anm_tpu.networks import two_bus_network  # noqa: E402
 
 
 class SimpleEnvironment(ANMEnv):
