@@ -57,9 +57,17 @@ def generate_dataset_vec(env: VecEnv, controller: Optional[Controller], key,
 
 def generate_mixed_dataset_vec(env: VecEnv, controllers: Sequence[Controller], key,
                                batch: int, steps: int,
-                               weights: Optional[Sequence[float]] = None):
+                               weights: Optional[Sequence[float]] = None,
+                               assignment=None):
     """Mixed-policy dataset: each lane is assigned one controller (sampled
-    with ``weights``), and all controllers run branch-free via masking.
+    with ``weights``, or fixed via ``assignment``), and all controllers run
+    branch-free via masking.
+
+    Passing an explicit per-lane ``assignment`` (int array [batch]) turns
+    this into a single-compile multi-controller collector — e.g.
+    ``jnp.repeat(jnp.arange(n), lanes)`` gives each controller its own lane
+    block within ONE jitted program, instead of compiling one program per
+    controller.
 
     Returns (traj, assignment) where traj = (obs, action, reward, next_obs,
     done) with shape [steps, batch, ...] and assignment is the per-lane
@@ -76,7 +84,12 @@ def generate_mixed_dataset_vec(env: VecEnv, controllers: Sequence[Controller], k
 
     k_env, k_ctrl, k_assign = jax.random.split(key, 3)
     env_keys = jax.random.split(k_env, batch)
-    assignment = jax.random.choice(k_assign, n, (batch,), p=probs)
+    if assignment is None:
+        assignment = jax.random.choice(k_assign, n, (batch,), p=probs)
+    else:
+        assignment = jnp.asarray(assignment, jnp.int32)
+        if assignment.shape != (batch,):
+            raise ValueError(f"assignment must have shape ({batch},)")
 
     @jax.jit
     def run(env_keys, k_ctrl, assignment):

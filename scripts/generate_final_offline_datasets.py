@@ -205,27 +205,37 @@ def run_vec(episodes, lanes, out_dir):
 
     from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task
     from gym_anm_tpu.vec.controllers import make_suite
-    from gym_anm_tpu.offline_vec import generate_dataset_vec
+    from gym_anm_tpu.offline_vec import generate_mixed_dataset_vec
 
     env = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
     suite = make_suite(env)
-    all_data, summary = [], []
+    n = len(suite)
     steps = 100
-    for i, ctrl in enumerate(suite):
+    # All six controllers in ONE jitted program: each gets its own block of
+    # `lanes` lanes via a fixed assignment (one compile instead of six).
+    t0 = time.perf_counter()
+    assignment = jnp.repeat(jnp.arange(n), lanes)
+    (obs, acts, rews, next_obs, dones), _ = generate_mixed_dataset_vec(
+        env, suite, jax.random.PRNGKey(0), batch=n * lanes, steps=steps,
+        assignment=assignment,
+    )
+    jax.block_until_ready(rews)
+    dt = time.perf_counter() - t0
+    total_rate = n * lanes * steps / dt
+    print(f"  collected all {n} controllers in {dt:.1f}s "
+          f"({total_rate:,.0f} transitions/s, one compiled program)")
+
+    all_data, summary = [], []
+    for i in range(n):
+        sl = slice(i * lanes, (i + 1) * lanes)
         name = f"L{i}"
-        t0 = time.perf_counter()
-        key = jax.random.PRNGKey(i)
-        obs, acts, rews, next_obs, dones = generate_dataset_vec(env, ctrl, key, lanes, steps)
-        jax.block_until_ready(rews)
-        dt = time.perf_counter() - t0
-        # [T, B, ...] -> flat transition arrays.
         data = {
-            "states": np.asarray(obs).reshape(-1, obs.shape[-1]),
-            "actions": np.asarray(acts).reshape(-1, acts.shape[-1]),
-            "rewards": np.asarray(rews).reshape(-1),
-            "next_states": np.asarray(next_obs).reshape(-1, next_obs.shape[-1]),
-            "dones": np.asarray(dones).reshape(-1),
-            "episode_returns": np.asarray(rews.sum(0)).tolist(),
+            "states": np.asarray(obs[:, sl]).reshape(-1, obs.shape[-1]),
+            "actions": np.asarray(acts[:, sl]).reshape(-1, acts.shape[-1]),
+            "rewards": np.asarray(rews[:, sl]).reshape(-1),
+            "next_states": np.asarray(next_obs[:, sl]).reshape(-1, next_obs.shape[-1]),
+            "dones": np.asarray(dones[:, sl]).reshape(-1),
+            "episode_returns": np.asarray(rews[:, sl].sum(0)).tolist(),
             "controller_id": i, "controller_name": name,
         }
         with open(os.path.join(out_dir, f"{name}_data.pkl"), "wb") as f:
@@ -234,9 +244,8 @@ def run_vec(episodes, lanes, out_dir):
         summary.append({"controller": name,
                         "avg_return": float(np.mean(data["episode_returns"])),
                         "transitions": len(data["rewards"])})
-        rate = len(data["rewards"]) / dt
-        print(f"  {name}: {len(data['rewards'])} transitions in {dt:.2f}s "
-              f"({rate:,.0f} trans/s), avg return {summary[-1]['avg_return']:.2f}")
+        print(f"  {name}: {len(data['rewards'])} transitions, "
+              f"avg return {summary[-1]['avg_return']:.2f}")
     return all_data, summary
 
 
