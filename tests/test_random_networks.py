@@ -1,0 +1,143 @@
+"""Property-based fuzz over random network topologies.
+
+The framework claims to handle ANY grid built from the schema, not just
+the shipped ones — so generate random radial feeders (random size, line
+parameters, device mix incl. renewables/caps/OLTC) and check that
+
+* the compat Simulator's solutions satisfy the physics-invariant oracle;
+* the f32 vec tier (chord fast path) solves the same networks to the
+  acceptance residual and agrees with the f64 tier.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.env.simulator import Simulator
+from gym_anm_tpu.vec import VecEnv, VecTask
+
+from .oracle import check_pfe_solution
+
+_NONE = [None] * 7  # QP-flexibility tail columns left unspecified
+
+
+def random_radial_network(rng, n_bus=None):
+    """A random radial feeder: slack at bus 0, each bus b>0 hangs off a
+    random earlier bus; loads everywhere, 1-2 renewables, optionally one
+    capacitor and one slack-adjacent OLTC."""
+    n_bus = n_bus or int(rng.integers(3, 25))
+    buses = [[0, 0, 132, 1.04, 1.04]]
+    buses += [[b, 1, 33, 1.1, 0.9] for b in range(1, n_bus)]
+
+    branches = []
+    has_oltc = bool(rng.random() < 0.5)
+    for b in range(1, n_bus):
+        f = 0 if b == 1 else int(rng.integers(0, b))
+        r = float(rng.uniform(0.005, 0.08))
+        x = float(rng.uniform(0.01, 0.15))
+        bsh = float(rng.uniform(0.0, 0.02))
+        branches.append([f, b, r, x, bsh, 10, 1, 0])
+
+    devices = [[0, 0, 0, None, 500, -500, 500, -500] + _NONE]
+    dev_id = 1
+    for b in range(1, n_bus):
+        p_min = -float(rng.uniform(0.1, 2.0))
+        devices.append([dev_id, b, -1, float(rng.uniform(0.1, 0.4)), 0, p_min] + [None] * 9)
+        dev_id += 1
+    n_rer = int(rng.integers(1, 3))
+    for _ in range(n_rer):
+        b = int(rng.integers(1, n_bus))
+        p_max = float(rng.uniform(0.5, 3.0))
+        devices.append([dev_id, b, 2, None, p_max, 0, p_max / 2, -p_max / 2] + _NONE)
+        dev_id += 1
+    if rng.random() < 0.6:
+        b = int(rng.integers(1, n_bus))
+        q_max = float(rng.uniform(0.2, 1.5))
+        devices.append([dev_id, b, 4, None, 0, 0, q_max, 0] + _NONE)
+        dev_id += 1
+    if has_oltc:
+        # OLTC regulating branch (0, 1): t_bus in the Q/P column, tap
+        # bounds in PMAX/PMIN (the reference's column convention).
+        devices.append([dev_id, 0, 5, 1, 1.1, 0.9, None, None] + _NONE)
+        dev_id += 1
+
+    return {
+        "baseMVA": 10,
+        "bus": np.array(buses, dtype=float),
+        "device": np.array(devices, dtype=object),
+        "branch": np.array(branches, dtype=float),
+    }
+
+
+def _random_inputs(spec, rng):
+    P_load = {int(spec.dev_ids[p]): float(rng.uniform(-1.5, 0)) for p in spec.load_pos}
+    gen_ids = [int(spec.dev_ids[p]) for p in spec.gen_nonslack_pos]
+    P_pot = {i: float(rng.uniform(0, 10)) for i in gen_ids}
+    P_set = {i: float(rng.uniform(0, 10)) for i in gen_ids}
+    Q_set = {i: float(rng.uniform(-2, 2)) for i in gen_ids}
+    for p in spec.cap_pos:
+        Q_set[int(spec.dev_ids[p])] = float(rng.uniform(0, 3))
+    taps = {int(spec.dev_ids[p]): float(rng.uniform(0.9, 1.1)) for p in spec.oltc_pos}
+    return P_load, P_pot, P_set, Q_set, taps
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_network_satisfies_oracle(seed):
+    rng = np.random.default_rng(seed)
+    net = random_radial_network(rng)
+    sim = Simulator(net, delta_t=0.5, lamb=100)
+    converged = 0
+    for _ in range(4):
+        P_load, P_pot, P_set, Q_set, taps = _random_inputs(sim.spec, rng)
+        _, _, _, _, conv = sim.transition(P_load, P_pot, P_set, Q_set, taps or None)
+        if not conv:
+            # Random draws can be genuinely infeasible (NR divergence is
+            # correct physics there); the oracle applies to solutions.
+            continue
+        converged += 1
+        check_pfe_solution(sim)
+    assert converged >= 2, f"seed {seed}: too few feasible draws ({converged}/4)"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_network_vec_f32_matches_f64(seed):
+    """The vec tier solves random topologies: f32 chord path (with/without
+    a slack-adjacent OLTC) agrees with the f64 exact path."""
+    rng = np.random.default_rng(100 + seed)
+    net = random_radial_network(rng)
+    n_state = None
+
+    def make_task(network):
+        def init_state_fn(key, carry):
+            return jnp.zeros(n_state)
+
+        def next_vars_fn(key, s_t, carry, t):
+            return jnp.zeros(n_vars), carry
+
+        return VecTask(network=network, K=0, delta_t=0.5, gamma=0.99, lamb=100,
+                       costs_clipping=(None, None),
+                       init_state_fn=init_state_fn, next_vars_fn=next_vars_fn,
+                       name="fuzz")
+
+    task = make_task(net)
+    e32 = VecEnv(task, dtype=jnp.float32)
+    n_state = e32.n_state
+    n_vars = e32.spec.n_load + e32.spec.n_gen
+    # Rebuild with the sizes now known (the hooks close over them).
+    e32 = VecEnv(make_task(net), dtype=jnp.float32)
+    e64 = VecEnv(make_task(net), dtype=jnp.float64)
+
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    s32, _ = jax.jit(jax.vmap(e32.reset))(keys)
+    s64, _ = jax.jit(jax.vmap(e64.reset))(keys)
+    a = jnp.broadcast_to((e32.action_low + e32.action_high) / 2, (B, e32.n_action))
+    for _ in range(2):
+        s32, o32, r32, d32, i32 = jax.jit(jax.vmap(e32.step))(s32, a)
+        s64, o64, r64, d64, i64 = jax.jit(jax.vmap(e64.step))(s64, a.astype(jnp.float64))
+        assert not bool(d32.any()) and not bool(d64.any())
+        assert float(i32["diff"].max()) <= 1e-4
+        np.testing.assert_allclose(np.asarray(s32.bus_vm),
+                                   np.asarray(s64.bus_vm, np.float32),
+                                   rtol=0, atol=1e-4)
