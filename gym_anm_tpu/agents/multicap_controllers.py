@@ -82,7 +82,8 @@ class L2_ProportionalControl_MultiCap:
 
         if v_min < 0.97:
             sig = self.kp_cap * (0.97 - v_min)
-            a[10:16] = np.minimum(self.cap_ratings, sig * self.cap_ratings)
+            a[10:10 + self.num_caps] = np.minimum(
+                self.cap_ratings, sig * self.cap_ratings)[: self.num_caps]
 
         if v_min < 0.96:
             a[16] = max(0.9, 1.0 - self.kp_oltc * (0.96 - v_min))
@@ -178,7 +179,7 @@ class L5_HierarchicalMPC_MultiCap:
         a = np.zeros(17)
         a[0:5] = self._renewable_p(sim, st)
         a[5:10] = self._renewable_q(sim, st)
-        a[10:16] = self.cap_schedule[:6]
+        a[10:10 + self.num_caps] = self.cap_schedule[: self.num_caps]
         self.tap_history.append(self.tap_schedule)
         smoothed = np.mean(self.tap_history)
         a[16] = min(TAP_POSITIONS, key=lambda x: abs(x - smoothed))
@@ -538,7 +539,7 @@ class L5_EnhancedSwitchingAware:
             if on != bool(self.cap_switch_state[i]):
                 self.time_since_switch[i] = 0
                 self.cap_switch_state[i] = int(on)
-        a[10:16] = caps[:6]
+        a[10:10 + self.num_caps] = caps[: self.num_caps]
         a[16] = self._oltc(v_min, v_max)
         # Envs assert containment rather than clipping (anm_env.py:356-357);
         # agents clip themselves (the convention set by mpc.py:341).

@@ -208,7 +208,8 @@ def train_cql(key, dataset, act_low, act_high, cfg: CQLConfig = CQLConfig(),
     """Convenience driver: train CQL on an in-memory dataset dict
     (states/actions/rewards/next_states/dones, the script pickle schema).
 
-    Returns (CQLState, policy_fn) where policy_fn(obs) -> action is the
+    Returns (CQLState, metrics, policy_fn) where metrics is the last
+    update's metric dict and policy_fn(obs) -> action is the
     deterministic deployment policy.
     """
     if steps < 1:

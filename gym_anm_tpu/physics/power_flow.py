@@ -346,14 +346,45 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         cond, body,
         (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
     )
+    # Sanitize the exit for the NR fallback.  Two failure shapes:
+    # (a) the iteration overflowed to inf/NaN — `diff > xtol` is then False
+    #     for NaN, so without a reset the fallback's loop condition would
+    #     never fire and the lane would be marked unstable even though
+    #     exact Newton from flat start may converge (a false network
+    #     collapse the f64 reference path would not produce);
+    # (b) the iteration wandered to a finite iterate WORSE than the flat
+    #     start (violent excursion inside the stall window) — the f32
+    #     fallback's own stall rule can then give up from that basin while
+    #     flat-start Newton would converge.
+    # Reset both to the flat start with a recomputed residual; at V ≡ 1 the
+    # mismatch is S = conj(Y·1) = conj(row sums), so this costs one
+    # reduction, not a matvec — the row sums of Y0 constant-fold at trace
+    # time.  Accepted lanes are never reset (their x is the answer).
+    finite = jnp.logical_and(jnp.isfinite(diff), jnp.all(jnp.isfinite(x)))
+    rs_re = jnp.sum(Y0re, axis=-1).at[t].add(dtf_re)
+    rs_im = jnp.sum(Y0im, axis=-1).at[t].add(dtf_im)
+    F_flat = jnp.concatenate([rs_re[1:] - p, -rs_im[1:] - q])
+    diff_flat = jnp.max(jnp.abs(F_flat))
     # Accept at xtol, or at the plateau tolerance only when the lane
     # actually plateaued (stall-limit exit).  A lane that hits lim_iter
     # while still improving is NOT accepted — it proceeds to the exact-NR
     # polish, matching nr_solve's f32 rule.
+    plateaued = jnp.logical_and(finite, stall >= stall_limit)
     accepted = jnp.logical_or(
-        diff <= xtol,
-        jnp.logical_and(stall >= stall_limit, diff <= stall_tol_factor * xtol),
+        jnp.logical_and(finite, diff <= xtol),
+        jnp.logical_and(plateaued, diff <= stall_tol_factor * xtol),
     )
+    # ~(diff <= diff_flat) is True for NaN diff, covering (a) within (b);
+    # the explicit `finite` term also catches non-finite x at finite diff.
+    reset = jnp.logical_and(
+        jnp.logical_not(accepted),
+        jnp.logical_or(jnp.logical_not(finite),
+                       jnp.logical_not(diff <= diff_flat)),
+    )
+    x = jnp.where(reset, flat, x)
+    F = jnp.where(reset, F_flat, F)
+    diff = jnp.where(reset, diff_flat, diff)
+    n_iter = jnp.where(reset, 0, n_iter)
     return x, F, diff, n_iter, accepted
 
 

@@ -73,6 +73,12 @@ function build(s) {
   document.getElementById("title").textContent = s.title + " — gym-anm-tpu";
   const svg = document.getElementById("net");
   svg.innerHTML = "";
+  nodes = []; edges = []; devGlyphs = [];
+  if (!s.busXY || !s.branchFrom) {  // no topology: scalar panels only
+    svg.style.display = "none";
+    return;
+  }
+  svg.style.display = "block";
   edges = s.branchFrom.map((f, k) => {
     const [x1, y1] = xy(f), [x2, y2] = xy(s.branchTo[k]);
     const line = el("line", {x1, y1, x2, y2, class: "branch",
@@ -115,6 +121,7 @@ function update(m) {
     "E-loss: " + m.reward[0].toFixed(3);
   document.getElementById("penalty").textContent =
     "Penalty: " + m.reward[1].toFixed(3);
+  if (!nodes.length) return;  // scalar-panels-only mode (no topology)
   m.vMagn.forEach((v, i) => {
     nodes[i].c.setAttribute("fill", vColor(v, spec.vMin[i], spec.vMax[i]));
     nodes[i].vlbl.textContent = v.toFixed(3);

@@ -78,8 +78,9 @@ def make_l1(env):
     return Controller("L1_basic", init_carry, act)
 
 
-def _tap_from_idx(idx):
-    return jnp.asarray(TAP_POSITIONS)[idx]
+def _tap_from_idx(idx, dtype=None):
+    taps = jnp.asarray(TAP_POSITIONS, dtype) if dtype is not None else jnp.asarray(TAP_POSITIONS)
+    return taps[idx]
 
 
 def make_l2(env):
@@ -127,7 +128,7 @@ def make_l2(env):
                       jnp.where(v_max > 1.07, 4, jnp.where(v_max > 1.04, 3, 2))),
         )
         tap_idx = jnp.where(caps_active, tap_idx_active, tap_idx_idle)
-        a = a.at[tap_sl].set(_tap_from_idx(tap_idx).astype(env.dtype))
+        a = a.at[tap_sl].set(_tap_from_idx(tap_idx, env.dtype))
 
         return a, jnp.stack([new_on1, new_on2])
 
@@ -147,7 +148,7 @@ def make_l3(env):
     n_gen = env.spec.n_gen
     cap_on = 0.15
     gen_bus = env.spec.dev_bus[env.spec.gen_nonslack_pos]
-    q_limits = jnp.asarray(np.resize(np.array([0.02, 0.02, 0.02, 0.04, 0.04]), n_gen))
+    q_limits = jnp.asarray(np.resize(np.array([0.02, 0.02, 0.02, 0.04, 0.04]), n_gen), env.dtype)
 
     def init_carry(key):
         return _L3Carry(jnp.zeros(2, bool), jnp.asarray(2, jnp.int32), jnp.asarray(0, jnp.int32))
@@ -201,7 +202,7 @@ def make_l3(env):
         last_tap = jnp.where(jnp.logical_and(free2, tap_changed), desired_tap, carry.last_tap_idx)
         timer = jnp.where(jnp.logical_and(free2, tap_changed), 10, timer)
 
-        a = a.at[tap_sl].set(_tap_from_idx(last_tap).astype(env.dtype))
+        a = a.at[tap_sl].set(_tap_from_idx(last_tap, env.dtype))
         return a, _L3Carry(cap_state, last_tap, timer)
 
     return Controller("L3_coordinated", init_carry, act)
@@ -223,7 +224,7 @@ def make_l4(env):
     n_gen = env.spec.n_gen
     cap_on = 0.4
     gen_bus = env.spec.dev_bus[env.spec.gen_nonslack_pos]
-    q_limits = jnp.asarray(np.resize(np.array([0.02, 0.02, 0.02, 0.04, 0.04]), n_gen))
+    q_limits = jnp.asarray(np.resize(np.array([0.02, 0.02, 0.02, 0.04, 0.04]), n_gen), env.dtype)
 
     def init_carry(key):
         return _L4Carry(
@@ -284,7 +285,7 @@ def make_l4(env):
         do_change = jnp.logical_and(tap_timer == 0, significant)
         last_tap = jnp.where(do_change, desired, carry.last_tap_idx)
         tap_timer = jnp.where(do_change, 10, tap_timer)
-        a = a.at[tap_sl].set(_tap_from_idx(last_tap).astype(env.dtype))
+        a = a.at[tap_sl].set(_tap_from_idx(last_tap, env.dtype))
 
         return a, _L4Carry(v_mean, jnp.ones((), bool), new_caps, last_tap, cap_timers, tap_timer)
 
@@ -318,8 +319,12 @@ def make_l5(env):
     cap_sl = env._action_slices["Q_cap"]
     tap_sl = env._action_slices["tap"]
     n_gen = env.spec.n_gen
-    grid = jnp.asarray(_l5_grid())              # [M, 4]
-    grid_tap = jnp.asarray(TAP_POSITIONS)[grid[:, 3].astype(jnp.int32)]
+    # Cast to the env dtype: under global x64 these would otherwise be
+    # strong f64 constants that promote the whole search (and the action
+    # scatters) to float64 — a FutureWarning today and a pathologically
+    # slow TPU compile (no native f64).
+    grid = jnp.asarray(_l5_grid(), env.dtype)   # [M, 4]
+    grid_tap = jnp.asarray(TAP_POSITIONS, env.dtype)[grid[:, 3].astype(jnp.int32)]
 
     def init_carry(key):
         return _L5Carry(jnp.zeros((), env.dtype), jnp.zeros((), env.dtype),
@@ -366,7 +371,7 @@ def make_l5(env):
         cap_vals = jnp.zeros(cap_sl.stop - cap_sl.start, env.dtype)
         cap_vals = cap_vals.at[0].set(b_c1).at[1].set(b_c2)
         a = a.at[cap_sl].set(cap_vals)
-        a = a.at[tap_sl].set(_tap_from_idx(b_tap_idx).astype(env.dtype))
+        a = a.at[tap_sl].set(_tap_from_idx(b_tap_idx, env.dtype))
 
         return a, _L5Carry(b_c1.astype(env.dtype), b_c2.astype(env.dtype), b_tap_idx)
 

@@ -128,7 +128,10 @@ def _make_renewable_family_task(network, name, load_scale=1.0, scenario="default
         hour = (hour + delta_t / 3600.0) % 24.0
         time_factor = 0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)
         noise = 1.0 + 0.02 * jax.random.normal(key, nominal_mw.shape)
-        loads = -nominal_mw.astype(s_t.dtype) * load_scale * time_factor * noise
+        # Cast the full expression: under global x64 the hour carry (and so
+        # time_factor) is f64, and scattering an f64 product into the f32
+        # vars array trips JAX's dtype-promotion FutureWarning.
+        loads = (-nominal_mw * load_scale * time_factor * noise).astype(s_t.dtype)
         vars = jnp.zeros(n_vars, dtype=s_t.dtype).at[: spec.n_load].set(loads)
         return vars, hour
 

@@ -161,6 +161,53 @@ def test_warm_start_guess_independent(env64):
     assert bool(jnp.isfinite(obs).all())
 
 
+def test_chord_divergence_recovers_via_fallback(env64):
+    """A chord phase that overflows to non-finite values, or wanders to an
+    iterate worse than the flat start, must NOT block the exact-NR fallback
+    (NaN makes `diff > xtol` False) — the sanitized exit resets such lanes
+    to the flat start so the fallback converges where flat-start Newton
+    would.  Regression for a false-network-collapse failure mode."""
+    from gym_anm_tpu.physics.power_flow import nr_solve_lazy
+    from gym_anm_tpu.physics.ybus import build_ybus
+
+    env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    tb = env32.tables
+    n = tb.n_bus - 1
+    z = jnp.zeros((), jnp.float32)
+
+    def ybus32():
+        return build_ybus(
+            tb.n_bus, tb.br_f, tb.br_t,
+            jnp.asarray(tb.series_re), jnp.asarray(tb.series_im),
+            jnp.asarray(tb.shunt_im), jnp.asarray(tb.shift_cos),
+            jnp.asarray(tb.shift_sin), jnp.asarray(tb.tap0),
+        )
+
+    # Overflow case: absurd injections drive the chord iterate to inf/NaN
+    # inside the stall window; the exit must still be finite.
+    p_huge = -jnp.ones(n, jnp.float32) * 1e12
+    x, F, diff, it, acc = chord_solve(p_huge, p_huge, z, z, z, z, tb.chord)
+    assert bool(jnp.all(jnp.isfinite(x))) and bool(jnp.isfinite(diff))
+    assert not bool(acc)
+
+    # Bad-basin cases: benign injections + finite-but-terrible warm starts.
+    # Exact NR from flat start converges in ~3 iterations here; the chord
+    # exit must not strand the fallback in the bad basin.
+    p = -jnp.ones(n, jnp.float32) * 0.01
+    q = p * 0.5
+    bad_guesses = [
+        jnp.concatenate([jnp.zeros(n), jnp.full((n,), 1e-6)]),   # vm ~ 0
+        jnp.concatenate([jnp.zeros(n), jnp.full((n,), -1.0)]),   # vm < 0
+        jnp.concatenate([jnp.full((n,), 30.0), jnp.ones(n)]),    # wild angles
+        jnp.concatenate([jnp.zeros(n), jnp.full((n,), 1e15)]),   # vm overflow
+    ]
+    for x0 in bad_guesses:
+        init = chord_solve(p, q, z, z, z, z, tb.chord, x0=x0.astype(jnp.float32))
+        r = nr_solve_lazy(ybus32, p, q, init=init)
+        assert bool(r.stable), f"fallback failed from guess, diff={float(r.diff):.2e}"
+        assert float(r.diff) <= 1e-4
+
+
 @pytest.mark.parametrize("task_name", ["renewable", "multicap", "anm6easy"])
 def test_f32_solver_health_across_tasks(task_name):
     """The f32 fast path stays within the acceptance residual and produces
