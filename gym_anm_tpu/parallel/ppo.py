@@ -28,6 +28,16 @@ class PPOConfig(NamedTuple):
     vf_coef: float = 0.5
     ent_coef: float = 0.0
     rollout_len: int = 16
+    # Reward scaling applied before the critic (grid penalties are O(1e2);
+    # raw-mean reward in metrics is unscaled).
+    reward_scale: float = 0.01
+    # Optimization schedule: each update re-uses the rollout for n_epochs
+    # passes of n_minibatches minibatches.  Minibatches slice the TIME axis
+    # (a permutation of rollout steps) so the sharded lane axis stays
+    # intact — no cross-device reshuffling, the data-parallel layout is
+    # preserved.  rollout_len must be divisible by n_minibatches.
+    n_epochs: int = 1
+    n_minibatches: int = 1
 
 
 def init_params(key, obs_dim, act_dim, hidden=64, dtype=jnp.float32):
@@ -135,6 +145,12 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
     replicated — annotate with NamedShardings at the call site and jit.
     """
     act_low, act_high = env.action_low, env.action_high
+    if cfg.rollout_len % cfg.n_minibatches != 0:
+        raise ValueError(
+            f"rollout_len ({cfg.rollout_len}) must be divisible by "
+            f"n_minibatches ({cfg.n_minibatches})"
+        )
+    mb_len = cfg.rollout_len // cfg.n_minibatches
 
     def rollout(params, state, obs):
         def body(carry, t):
@@ -159,38 +175,57 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
         rew_T = jnp.swapaxes(rew_t, 0, 1)
         done_T = jnp.swapaxes(done_t, 0, 1)
 
-        # Normalize rewards to a sane scale for the critic (grid penalties
-        # can be O(1e2)); scale is static.
-        rew_T = rew_T / 100.0
+        raw_mean_reward = rew_T.mean()
+        rew_T = rew_T * cfg.reward_scale
 
-        # 2. Advantages.
+        # 2. Advantages (computed once, from the pre-update parameters).
         values = value_fn(ts.params, obs_T)
         adv = gae(rew_T, values, done_T, cfg.gamma, cfg.lam)
         returns = adv + values
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         old_logp = log_prob(ts.params, obs_T, act_T)
 
-        # 3. Clipped-surrogate PPO loss over the whole batch (the mean
-        # couples lanes -> GSPMD inserts the cross-device reductions).
-        def loss_fn(params):
-            logp = log_prob(params, obs_T, act_T)
-            ratio = jnp.exp(logp - old_logp)
-            unclipped = ratio * adv
-            clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        # 3. Clipped-surrogate PPO loss (the mean couples lanes -> GSPMD
+        # inserts the cross-device reductions).
+        def loss_fn(params, obs_mb, act_mb, adv_mb, ret_mb, logp_mb):
+            logp = log_prob(params, obs_mb, act_mb)
+            ratio = jnp.exp(logp - logp_mb)
+            unclipped = ratio * adv_mb
+            clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_mb
             pg_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
-            v = value_fn(params, obs_T)
-            v_loss = jnp.mean((v - returns) ** 2)
+            v = value_fn(params, obs_mb)
+            v_loss = jnp.mean((v - ret_mb) ** 2)
             ent = jnp.sum(params["log_std"] + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
             return pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent, (pg_loss, v_loss)
 
-        (loss, (pg_loss, v_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
-        ts = adam_update(ts, grads, cfg.lr)
+        # 4. n_epochs × n_minibatches optimization passes over the rollout.
+        # Minibatches are contiguous groups of a per-epoch TIME permutation
+        # (deterministic in ts.step, so results are independent of device
+        # count); the lane axis is untouched — sharding-friendly.
+        def epoch_body(carry, k_epoch):
+            ts = carry
+            perm = jax.random.permutation(k_epoch, cfg.rollout_len)
+
+            def mb_body(ts, i):
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_len, mb_len)
+                args = tuple(x[idx] for x in (obs_T, act_T, adv, returns, old_logp))
+                (loss, (pg, vl)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(ts.params, *args)
+                return adam_update(ts, grads, cfg.lr), (loss, pg, vl)
+
+            ts, losses = jax.lax.scan(mb_body, ts, jnp.arange(cfg.n_minibatches))
+            return ts, losses
+
+        epoch_keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(17), ts.step), cfg.n_epochs
+        )
+        ts, (losses, pg_losses, v_losses) = jax.lax.scan(epoch_body, ts, epoch_keys)
 
         metrics = {
-            "loss": loss,
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "mean_reward": rew_T.mean() * 100.0,  # undo critic scaling: raw env reward
+            "loss": losses[-1, -1],
+            "pg_loss": pg_losses[-1, -1],
+            "v_loss": v_losses[-1, -1],
+            "mean_reward": raw_mean_reward,  # raw env reward, unscaled
             "done_rate": done_T.mean(),
         }
         return ts, state2, obs2, metrics

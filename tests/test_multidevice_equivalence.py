@@ -1,0 +1,125 @@
+"""Multi-device numerical equivalence: 8-device mesh == 1-device mesh.
+
+A silent sharding bug (wrong axis, missing psum) produces *different
+numbers* on a multi-device mesh, not a crash.  These tests run the
+identical PPO/CQL computation from the same seed on a 1-device and an
+8-device mesh and assert the outputs agree — so a wrong PartitionSpec or a
+dropped collective fails loudly.  (Tolerances are loose only to the extent
+of float32 reduction-order noise; a missing psum is orders of magnitude
+outside them.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gym_anm_tpu.parallel import (
+    CQLConfig,
+    PPOConfig,
+    init_cql_state,
+    init_train_state,
+    make_cql_update,
+    make_train_step,
+)
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+
+def _meshes():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    return Mesh(np.array(devs[:1]), ("env",)), Mesh(np.array(devs[:8]), ("env",))
+
+
+def _run_ppo(mesh, n_steps=2, B=16):
+    env_sh = NamedSharding(mesh, P("env"))
+    rep_sh = NamedSharding(mesh, P())
+
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    cfg = PPOConfig(hidden=16, rollout_len=4, n_epochs=2, n_minibatches=2)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, obs = jax.vmap(env.reset)(keys)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, env_sh), state)
+    obs = jax.device_put(obs, env_sh)
+
+    ts = init_train_state(jax.random.PRNGKey(1), env.n_state, env.n_action, cfg)
+    ts = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep_sh), ts)
+
+    train_step = jax.jit(
+        make_train_step(env, cfg),
+        in_shardings=(rep_sh, env_sh, env_sh),
+        out_shardings=(rep_sh, env_sh, env_sh, rep_sh),
+    )
+    metrics = None
+    for _ in range(n_steps):
+        ts, state, obs, metrics = train_step(ts, state, obs)
+    return jax.device_get(ts.params), jax.device_get(metrics)
+
+
+def test_ppo_train_step_equivalent_across_meshes():
+    mesh1, mesh8 = _meshes()
+    params1, metrics1 = _run_ppo(mesh1)
+    params8, metrics8 = _run_ppo(mesh8)
+
+    for k in metrics1:
+        np.testing.assert_allclose(
+            metrics1[k], metrics8[k], rtol=2e-4, atol=1e-6, err_msg=f"metric {k}"
+        )
+    flat1 = jax.tree_util.tree_leaves_with_path(params1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(params8))
+    for path, leaf1 in flat1:
+        np.testing.assert_allclose(
+            leaf1, flat8[path], rtol=1e-3, atol=2e-5,
+            err_msg=f"param {jax.tree_util.keystr(path)}",
+        )
+
+
+def _toy_batch(n=256, obs_dim=6, act_dim=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "obs": jnp.asarray(rng.randn(n, obs_dim), jnp.float32),
+        "actions": jnp.asarray(np.clip(rng.randn(n, act_dim), -1, 1), jnp.float32),
+        "rewards": jnp.asarray(rng.randn(n), jnp.float32),
+        "next_obs": jnp.asarray(rng.randn(n, obs_dim), jnp.float32),
+        "dones": jnp.asarray(rng.randint(0, 2, n), jnp.float32),
+    }
+
+
+def _run_cql(mesh, n_steps=3):
+    batch_sh = NamedSharding(mesh, P("env"))
+    rep_sh = NamedSharding(mesh, P())
+
+    cfg = CQLConfig(hidden=32)
+    state = init_cql_state(jax.random.PRNGKey(0), 6, 3, cfg)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep_sh), state)
+    update = jax.jit(
+        make_cql_update(cfg, -jnp.ones(3), jnp.ones(3)),
+        in_shardings=(rep_sh, rep_sh, batch_sh),
+        out_shardings=(rep_sh, rep_sh),
+    )
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sh), _toy_batch()
+    )
+    metrics = None
+    for i in range(n_steps):
+        state, metrics = update(state, jax.random.PRNGKey(i + 10), batch)
+    return jax.device_get(state.train.params), jax.device_get(metrics)
+
+
+def test_cql_update_equivalent_across_meshes():
+    mesh1, mesh8 = _meshes()
+    params1, metrics1 = _run_cql(mesh1)
+    params8, metrics8 = _run_cql(mesh8)
+
+    for k in metrics1:
+        np.testing.assert_allclose(
+            metrics1[k], metrics8[k], rtol=2e-4, atol=1e-6, err_msg=f"metric {k}"
+        )
+    flat1 = jax.tree_util.tree_leaves_with_path(params1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(params8))
+    for path, leaf1 in flat1:
+        np.testing.assert_allclose(
+            leaf1, flat8[path], rtol=1e-3, atol=2e-5,
+            err_msg=f"param {jax.tree_util.keystr(path)}",
+        )
