@@ -1,15 +1,32 @@
 """Headline benchmark: batched IEEE33 env-steps/s on one chip.
 
-Runs the full environment step — device projections, Y-bus build,
-Newton-Raphson AC load flow (xtol 1e-5), branch flows, reward, autoreset —
-for B parallel IEEE33 instances in lockstep under jit, with uniform-random
-actions, and reports steps/s.
+Measures three workloads, lightest to heaviest:
+
+1. ``ieee33`` (headline) — the base 33-bus task (3-dim action: 2 caps +
+   OLTC), full step: device projections, Y-bus, Newton-Raphson AC load
+   flow (xtol 1e-5), branch flows, reward.  Uniform-random actions, no
+   autoreset (random actions never diverge this task — verified in
+   tests/test_vec_env.py — and the reset program out of the scan body
+   halves compile time).
+2. ``multicap17`` (flagship) — the 17-dim IEEE33MultiCapacitorEnv config
+   from BASELINE.json (5 renewable P + 5 Q with polytope projections,
+   6 capacitor banks, OLTC, diurnal loads with per-step noise,
+   reference action layout ieee33_multi_capacitor.py:75-88), random
+   actions WITH autoreset — the honest dataset-generation step.
+3. ``l0l5_dataset`` — L0-L5 controller-in-the-loop mixed dataset
+   generation on the 17-dim task: all six vectorized controllers run
+   in ONE compiled program (static lane assignment), trajectories
+   (obs, action, reward, next_obs, done) stacked on device — the
+   offline-RL collection workload of the reference's
+   generate_final_offline_datasets.py.
 
 Baseline: the reference (halduaij/gym-anm) IEEE33Env.step() measures
 ~122 steps/s single-core on this machine (scipy spsolve NR; measured
 2026-08-16, 50-step rollout) — see BASELINE.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra_metrics": [...]}; the headline fields describe workload 1, the
+flagship/dataset numbers ride in "extra_metrics" (same schema each).
 """
 
 import json
@@ -22,56 +39,94 @@ import jax.numpy as jnp
 REFERENCE_STEPS_PER_S = 122.0  # reference IEEE33Env.step, 1 CPU core
 
 
-def main(batch=8192, n_steps=64, n_reps=3, dtype=jnp.float32):
-    from gym_anm_tpu.vec import VecEnv, make_ieee33_task
-
-    env = VecEnv(make_ieee33_task(), dtype=dtype)
-    lo, hi = env.action_low, env.action_high
-
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    state, obs = jax.jit(jax.vmap(env.reset))(keys)
-
-    def run(state, obs, seed):
-        # Plain step (no autoreset): random actions never diverge the IEEE33
-        # base task (verified in tests/test_vec_env.py), and keeping the
-        # reset program out of the scan body halves compile time.
-        def body(carry, t):
-            st, obs = carry
-            k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
-            acts = lo + jax.random.uniform(k, (batch, env.n_action), dtype=env.dtype) * (hi - lo)
-            st, obs, r, d, _ = jax.vmap(env.step)(st, acts)
-            return (st, obs), r.sum()
-
-        (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))
-        return state, obs, rs.sum()
-
-    run_jit = jax.jit(run, static_argnames=(), donate_argnums=(0,))
-
-    # Warm-up (compile + one full pass).
+def _time_reps(run_jit, state, obs, n_reps, steps_per_rep):
+    """Warm-up once (compile), then time n_reps full passes."""
     state, obs, total = run_jit(state, obs, 0)
     jax.block_until_ready(total)
-
     t0 = time.perf_counter()
     for rep in range(n_reps):
         state, obs, total = run_jit(state, obs, rep + 1)
     jax.block_until_ready(total)
     elapsed = time.perf_counter() - t0
+    return steps_per_rep * n_reps / elapsed
 
-    steps = batch * n_steps * n_reps
-    steps_per_s = steps / elapsed
 
-    print(
-        json.dumps(
-            {
-                "metric": "ieee33_env_steps_per_s_b8192_1chip",
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),
-            }
-        )
-    )
+def bench_random(env, batch, n_steps, n_reps, autoreset):
+    """Random-action throughput for one VecEnv (workloads 1 and 2)."""
+    lo, hi = env.action_low, env.action_high
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    step = env.step_autoreset if autoreset else env.step
+
+    def run(state, obs, seed):
+        def body(carry, t):
+            st, obs = carry
+            k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
+            acts = lo + jax.random.uniform(k, (batch, env.n_action), dtype=env.dtype) * (hi - lo)
+            st, obs, r, d, _ = jax.vmap(step)(st, acts)
+            return (st, obs), r.sum()
+
+        (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))
+        return state, obs, rs.sum()
+
+    run_jit = jax.jit(run, donate_argnums=(0,))
+    return _time_reps(run_jit, state, obs, n_reps, batch * n_steps)
+
+
+def bench_l0l5_dataset(env, batch, n_steps, n_reps):
+    """Mixed L0-L5 controller-in-the-loop dataset generation (workload 3)."""
+    from gym_anm_tpu.offline_vec import make_mixed_collector
+    from gym_anm_tpu.vec.controllers import make_suite
+
+    suite = make_suite(env)
+    assignment = jnp.repeat(jnp.arange(len(suite)), batch // len(suite) + 1)[:batch]
+    collect = make_mixed_collector(env, suite, batch, n_steps)  # ONE compile
+
+    traj = collect(jax.random.PRNGKey(0), assignment)  # compile + first pass
+    jax.block_until_ready(traj)
+    t0 = time.perf_counter()
+    for rep in range(n_reps):
+        traj = collect(jax.random.PRNGKey(rep + 1), assignment)
+    jax.block_until_ready(traj)
+    elapsed = time.perf_counter() - t0
+    return batch * n_steps * n_reps / elapsed
+
+
+def _metric(name, steps_per_s):
+    return {
+        "metric": name,
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),
+    }
+
+
+def main(batch=8192, quick=False):
+    from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task, make_ieee33_task
+
+    # 1. Headline: base IEEE33, 3-dim action, plain step.
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    base = bench_random(env, batch, n_steps=64, n_reps=3, autoreset=False)
+    headline = _metric(f"ieee33_env_steps_per_s_b{batch}_1chip", base)
+
+    extras = []
+    if not quick:
+        # 2. Flagship: 17-dim multicap, random actions + autoreset.
+        env_mc = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
+        flagship = bench_random(env_mc, batch, n_steps=32, n_reps=3, autoreset=True)
+        extras.append(_metric(f"ieee33_multicap17_env_steps_per_s_b{batch}_1chip", flagship))
+
+        # 3. L0-L5 controller-in-the-loop dataset generation on the 17-dim task.
+        ds = bench_l0l5_dataset(env_mc, batch, n_steps=32, n_reps=3)
+        extras.append(_metric(f"ieee33_multicap17_l0l5_dataset_steps_per_s_b{batch}_1chip", ds))
+
+    headline["extra_metrics"] = extras
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    main(batch=batch)
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    main(
+        batch=int(args[0]) if args else 8192,
+        quick="--quick" in sys.argv,
+    )

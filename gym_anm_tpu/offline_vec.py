@@ -55,44 +55,23 @@ def generate_dataset_vec(env: VecEnv, controller: Optional[Controller], key,
     return run(env_keys, k_ctrl)
 
 
-def generate_mixed_dataset_vec(env: VecEnv, controllers: Sequence[Controller], key,
-                               batch: int, steps: int,
-                               weights: Optional[Sequence[float]] = None,
-                               assignment=None):
-    """Mixed-policy dataset: each lane is assigned one controller (sampled
-    with ``weights``, or fixed via ``assignment``), and all controllers run
-    branch-free via masking.
+def make_mixed_collector(env: VecEnv, controllers: Sequence[Controller],
+                         batch: int, steps: int):
+    """Build a reusable jitted mixed-policy collector:
 
-    Passing an explicit per-lane ``assignment`` (int array [batch]) turns
-    this into a single-compile multi-controller collector — e.g.
-    ``jnp.repeat(jnp.arange(n), lanes)`` gives each controller its own lane
-    block within ONE jitted program, instead of compiling one program per
-    controller.
+        collect(key, assignment) -> traj
 
-    Returns (traj, assignment) where traj = (obs, action, reward, next_obs,
-    done) with shape [steps, batch, ...] and assignment is the per-lane
-    controller index.
+    with traj = (obs, action, reward, next_obs, done), each [steps, batch,
+    ...].  ``assignment`` is the per-lane controller index; all controllers
+    run branch-free via masking inside ONE compiled program, so repeated
+    collections (different keys/assignments) reuse the compile — call sites
+    that loop MUST reuse the returned function, re-building it retraces.
     """
-    n = len(controllers)
-    if weights is None:
-        probs = jnp.full(n, 1.0 / n)
-    else:
-        w = jnp.asarray(weights, dtype=jnp.float32)
-        if w.shape[0] != n:
-            raise ValueError("Length of weights must match number of controllers")
-        probs = w / w.sum()
-
-    k_env, k_ctrl, k_assign = jax.random.split(key, 3)
-    env_keys = jax.random.split(k_env, batch)
-    if assignment is None:
-        assignment = jax.random.choice(k_assign, n, (batch,), p=probs)
-    else:
-        assignment = jnp.asarray(assignment, jnp.int32)
-        if assignment.shape != (batch,):
-            raise ValueError(f"assignment must have shape ({batch},)")
 
     @jax.jit
-    def run(env_keys, k_ctrl, assignment):
+    def collect(key, assignment):
+        k_env, k_ctrl = jax.random.split(key)
+        env_keys = jax.random.split(k_env, batch)
         state, obs = jax.vmap(env.reset)(env_keys)
         carries0 = tuple(
             jax.vmap(c.init_carry)(jax.random.split(jax.random.fold_in(k_ctrl, i), batch))
@@ -119,7 +98,51 @@ def generate_mixed_dataset_vec(env: VecEnv, controllers: Sequence[Controller], k
         )
         return traj
 
-    return run(env_keys, k_ctrl, assignment), assignment
+    return collect
+
+
+def generate_mixed_dataset_vec(env: VecEnv, controllers: Sequence[Controller], key,
+                               batch: int, steps: int,
+                               weights: Optional[Sequence[float]] = None,
+                               assignment=None, collector=None):
+    """Mixed-policy dataset: each lane is assigned one controller (sampled
+    with ``weights``, or fixed via ``assignment``), and all controllers run
+    branch-free via masking.
+
+    Passing an explicit per-lane ``assignment`` (int array [batch]) turns
+    this into a single-compile multi-controller collector — e.g.
+    ``jnp.repeat(jnp.arange(n), lanes)`` gives each controller its own lane
+    block within ONE jitted program, instead of compiling one program per
+    controller.
+
+    When calling repeatedly (same env/shapes), build the program once with
+    :func:`make_mixed_collector` and pass it as ``collector`` — otherwise
+    each call creates a fresh jit closure and recompiles.
+
+    Returns (traj, assignment) where traj = (obs, action, reward, next_obs,
+    done) with shape [steps, batch, ...] and assignment is the per-lane
+    controller index.
+    """
+    n = len(controllers)
+    if weights is None:
+        probs = jnp.full(n, 1.0 / n)
+    else:
+        w = jnp.asarray(weights, dtype=jnp.float32)
+        if w.shape[0] != n:
+            raise ValueError("Length of weights must match number of controllers")
+        probs = w / w.sum()
+
+    k_run, k_assign = jax.random.split(jax.random.fold_in(key, 3))
+    if assignment is None:
+        assignment = jax.random.choice(k_assign, n, (batch,), p=probs)
+    else:
+        assignment = jnp.asarray(assignment, jnp.int32)
+        if assignment.shape != (batch,):
+            raise ValueError(f"assignment must have shape ({batch},)")
+
+    if collector is None:
+        collector = make_mixed_collector(env, controllers, batch, steps)
+    return collector(k_run, assignment), assignment
 
 
 def behavior_cloning_vec(obs, actions, action_low, action_high):
