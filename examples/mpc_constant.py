@@ -1,0 +1,34 @@
+"""Run the constant-forecast MPC policy on any gym-anm-tpu environment.
+
+Equivalent of the reference's ``examples/mpc_constant.py``: the DC-OPF MPC
+agent :class:`~gym_anm_tpu.agents.MPCAgentConstant` assumes demand and
+generation stay at their current values over the optimization horizon.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import gymnasium as gym  # noqa: E402
+
+import gym_anm_tpu  # noqa: F401,E402  (registers ANM6Easy-v0)
+from gym_anm_tpu.agents import MPCAgentConstant  # noqa: E402
+
+
+def run(steps=100, planning_steps=10):
+    env = gym.make("ANM6Easy-v0")
+    env.reset()
+
+    raw = env.unwrapped
+    agent = MPCAgentConstant(raw.simulator, env.action_space, raw.gamma,
+                             safety_margin=0.96, planning_steps=planning_steps)
+
+    for t in range(steps):
+        a = agent.act(raw)
+        obs, r, terminated, _, _ = env.step(a)
+        print(f"t={t}, r_t={r:.3}")
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,35 @@
+"""Run the perfect-forecast MPC policy on ANM6Easy-v0.
+
+Equivalent of the reference's ``examples/mpc_perfect.py``: the DC-OPF MPC
+agent :class:`~gym_anm_tpu.agents.MPCAgentPerfect` reads the task's fixed
+daily profiles, so its forecasts over the horizon are exact (ANM6Easy
+only).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import gymnasium as gym  # noqa: E402
+
+import gym_anm_tpu  # noqa: F401,E402  (registers ANM6Easy-v0)
+from gym_anm_tpu.agents import MPCAgentPerfect  # noqa: E402
+
+
+def run(steps=100, planning_steps=10):
+    env = gym.make("ANM6Easy-v0")
+    env.reset()
+
+    raw = env.unwrapped
+    agent = MPCAgentPerfect(raw.simulator, env.action_space, raw.gamma,
+                            safety_margin=0.96, planning_steps=planning_steps)
+
+    for t in range(steps):
+        a = agent.act(raw)
+        obs, r, terminated, _, _ = env.step(a)
+        print(f"t={t}, r_t={r:.3}")
+
+
+if __name__ == "__main__":
+    run()

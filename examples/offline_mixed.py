@@ -1,0 +1,51 @@
+"""Collect an offline dataset from a mixture of expert policies.
+
+Equivalent of the reference's ``examples/offline_mixed.py``: the full
+capacitor-bank expert family (plus a random agent via ``None``) drives
+IEEE33-v0, with per-step agent sampling under the given probability
+weights.  For at-scale on-device collection of the same kind, see
+:func:`gym_anm_tpu.offline_vec.generate_mixed_dataset_vec`.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import gymnasium as gym  # noqa: E402
+
+import gym_anm_tpu  # noqa: F401,E402  (registers IEEE33-v0)
+from gym_anm_tpu.offline import (  # noqa: E402
+    AggressiveCapBankExpert,
+    ConservativeCapBankExpert,
+    DelayedCapBankExpert,
+    HysteresisCapBankExpert,
+    LaggingCapBankExpert,
+    NoisyCapBankExpert,
+    SimpleCapBankExpert,
+    generate_mixed_dataset,
+)
+
+
+def run(steps=10):
+    env = gym.make("IEEE33-v0")
+    experts = [
+        SimpleCapBankExpert(env),
+        ConservativeCapBankExpert(env),
+        AggressiveCapBankExpert(env),
+        NoisyCapBankExpert(env),
+        DelayedCapBankExpert(env),
+        LaggingCapBankExpert(env),
+        HysteresisCapBankExpert(env),
+    ]
+    agents = [None] + experts  # None = uniform-random actions
+    weights = [0.15, 0.2, 0.1, 0.1, 0.1, 0.15, 0.1, 0.1]
+
+    states, actions = generate_mixed_dataset(env, agents, steps=steps, weights=weights)
+    print(f"collected {len(states)} transitions, "
+          f"state dim {states.shape[1]}, action dim {actions.shape[1]}")
+    return states, actions
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,34 @@
+"""Interact with a gym-anm-tpu environment using random actions.
+
+Equivalent of the reference's ``examples/random_agent.py``: sample random
+actions on ANM6Easy-v0, rendering each step in the browser dashboard, and
+reset whenever a terminal state is reached.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import gymnasium as gym  # noqa: E402
+
+import gym_anm_tpu  # noqa: F401,E402  (registers ANM6Easy-v0)
+
+
+def run(steps=10, render=True, sleep=0.5):
+    env = gym.make("ANM6Easy-v0")
+    env.reset()
+
+    for _ in range(steps):
+        o, r, terminated, _, _ = env.step(env.action_space.sample())
+        if render:
+            env.render()
+            time.sleep(sleep)  # otherwise the rendering is too fast to watch
+        if terminated:
+            env.reset()
+    env.close()
+
+
+if __name__ == "__main__":
+    run()

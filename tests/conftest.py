@@ -28,11 +28,38 @@ def _install_reference_stubs():
     cvxpy is replaced by a numpy/scipy-backed stub that actually solves the
     tiny projection QPs the reference devices build, so that reference
     rollouts through generator/storage devices still work for parity tests.
+
+    Two interchangeable QP backends (cv._qp_backend, default "enumeration"):
+
+    - "enumeration": exact closed-form candidate enumeration — fast, but
+      the same algorithm family as gym_anm_tpu.physics.projection, so
+      golden rollouts through it are partly self-referential.
+    - "slsqp": scipy.optimize SLSQP — an iterative SQP method, algorithm-
+      family independent of the shipped projection.  Used by the
+      end-to-end QP-validation parity test (switch with
+      tests.conftest.qp_backend("slsqp")).
     """
     if "cvxpy" not in sys.modules:
         import numpy as np
 
         cv = types.ModuleType("cvxpy")
+        cv._qp_backend = "enumeration"
+
+        def _project_slsqp(point, G, h):
+            """Euclidean projection onto {x : Gx <= h} via scipy SLSQP."""
+            from scipy.optimize import minimize
+
+            ok = np.isfinite(h) & np.all(np.isfinite(G), axis=1) & (np.abs(G).sum(1) > 0)
+            G, h = G[ok], h[ok]
+            res = minimize(
+                lambda x: ((x - point) ** 2).sum(),
+                x0=point,
+                jac=lambda x: 2.0 * (x - point),
+                method="SLSQP",
+                constraints=[{"type": "ineq", "fun": lambda x: h - G @ x, "jac": lambda x: -G}],
+                options={"ftol": 1e-16, "maxiter": 500},
+            )
+            return res.x
 
         def _project_exact(point, G, h):
             """Exact Euclidean projection onto {x : Gx <= h} in 2D (numpy;
@@ -105,7 +132,10 @@ def _install_reference_stubs():
                 var = expr.var
                 point = np.asarray(expr.point, dtype=float)
                 c = self.constraints[0]
-                x = _project_exact(point, np.asarray(c.G, float), np.asarray(c.h, float))
+                proj = {"enumeration": _project_exact, "slsqp": _project_slsqp}[
+                    sys.modules["cvxpy"]._qp_backend
+                ]
+                x = proj(point, np.asarray(c.G, float), np.asarray(c.h, float))
                 var.value = x
                 self.status = "optimal"
                 return float(((x - point) ** 2).sum())
@@ -125,6 +155,22 @@ def _install_reference_stubs():
         sys.modules["websocket_server"].WebsocketServer = object
     if not hasattr(sys.modules["websocket"], "create_connection"):
         sys.modules["websocket"].create_connection = lambda *a, **k: None
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def qp_backend(name):
+    """Temporarily switch the reference cvxpy stub's QP solver backend
+    ("enumeration" or "slsqp")."""
+    cv = sys.modules["cvxpy"]
+    prev = cv._qp_backend
+    cv._qp_backend = name
+    try:
+        yield
+    finally:
+        cv._qp_backend = prev
 
 
 def reference_available():

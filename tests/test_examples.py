@@ -1,0 +1,68 @@
+"""Every shipped example must run clean (the user-facing API contract).
+
+Mirrors the role of the reference's ``examples/`` directory: these are the
+documented entry points for building custom environments, running MPC
+agents, collecting offline datasets and driving random rollouts.
+"""
+
+import importlib
+import os
+import sys
+
+import numpy as np
+import pytest
+
+EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _load(name):
+    if EXAMPLES_DIR not in sys.path:
+        sys.path.insert(0, EXAMPLES_DIR)
+    return importlib.import_module(name)
+
+
+def test_simple_env_example():
+    mod = _load("simple_env")
+    env = mod.SimpleEnvironment()
+    env.reset()
+    for _ in range(5):
+        o, r, term, _, _ = env.step(env.action_space.sample())
+        assert np.isfinite(r)
+
+
+def test_custom_anm6_example():
+    mod = _load("custom_anm6")
+    np.random.seed(0)
+    env = mod.CustomANM6Environment()
+    env.reset()
+    for _ in range(5):
+        o, r, term, _, _ = env.step(env.action_space.sample())
+        assert np.isfinite(r)
+        if term:
+            env.reset()
+
+
+def test_new_env_template_is_valid_skeleton():
+    """The template must import and define the documented hook surface
+    (it is a skeleton — instantiating it is meaningless)."""
+    mod = _load("new_env_template")
+    cls = mod.CustomEnvironment
+    for hook in ("init_state", "next_vars", "observation_bounds", "render", "close"):
+        assert callable(getattr(cls, hook))
+
+
+@pytest.mark.parametrize("name", ["mpc_constant", "mpc_perfect"])
+def test_mpc_examples(name):
+    mod = _load(name)
+    mod.run(steps=3, planning_steps=2)
+
+
+def test_random_agent_example():
+    mod = _load("random_agent")
+    mod.run(steps=3, render=False, sleep=0)
+
+
+def test_offline_mixed_example():
+    mod = _load("offline_mixed")
+    states, actions = mod.run(steps=6)
+    assert len(states) == 6 and len(actions) == 6

@@ -1,0 +1,79 @@
+"""Independent end-to-end QP validation.
+
+The standard golden rollouts run the reference with a candidate-enumeration
+cvxpy stub — the same algorithm family as the shipped
+``physics/projection.py``, so they are partly self-referential.  Here the
+reference's generator/storage QPs (devices.py:282-306, 474-524) are solved
+by scipy SLSQP instead — an iterative SQP solver sharing no code or
+algorithmic idea with the shipped exact active-set projection — and the
+1e-8 golden parity must still hold over a ≥50-step ANM6Easy rollout that
+exercises the QP path every step (2 renewable gens + 1 DES).
+"""
+
+import numpy as np
+import pytest
+
+from .conftest import qp_backend, requires_reference
+
+OBS_TOL = 1e-8
+
+
+def _rollout(env, seed, n_steps, action_seed):
+    obs, _ = env.reset(seed=seed)
+    env.action_space.seed(action_seed)
+    O, R, T = [obs], [], []
+    for _ in range(n_steps):
+        a = env.action_space.sample()
+        o, r, term, _, _ = env.step(a)
+        O.append(o)
+        R.append(r)
+        T.append(term)
+        if term:
+            o, _ = env.reset()
+            O.append(o)
+    return np.array(O[:n_steps]), np.array(R), np.array(T)
+
+
+@requires_reference
+def test_slsqp_backend_actually_differs(reference):
+    """Sanity check on the harness itself: the two stub backends are
+    different code paths that agree only to solver tolerance (so the
+    rollout test below is not comparing a backend against itself)."""
+    import cvxpy as cv
+
+    rng = np.random.RandomState(0)
+    from tests.conftest import _install_reference_stubs  # noqa: F401
+
+    # Build a projection problem the way the reference devices do.
+    G = np.array([[-1.0, 0], [1, 0], [0, -1], [0, 1], [-0.5, 1], [0.5, -1]])
+    h = np.array([0.0, 0.5, 0.4, 0.4, 0.3, 0.1])
+    for _ in range(20):
+        p = rng.randn(2)
+        x = cv.Variable(2)
+        prob = cv.Problem(cv.Minimize(cv.sum_squares(x - p)), [G @ x <= h])
+        prob.solve()
+        x_enum = np.array(x.value)
+        with qp_backend("slsqp"):
+            x2 = cv.Variable(2)
+            prob2 = cv.Problem(cv.Minimize(cv.sum_squares(x2 - p)), [G @ x2 <= h])
+            prob2.solve()
+            x_slsqp = np.array(x2.value)
+        # Agreement to solver tolerance — but not bit-identical in general.
+        np.testing.assert_allclose(x_enum, x_slsqp, atol=1e-9)
+
+
+@requires_reference
+@pytest.mark.parametrize("seed,action_seed", [(11, 3)])
+def test_anm6easy_golden_rollout_vs_slsqp_reference(reference, seed, action_seed):
+    """≥50-step ANM6Easy parity where the REFERENCE solves its QPs with
+    scipy SLSQP — independent of the shipped projection's algorithm."""
+    from gym_anm.envs.anm6_env.anm6_easy import ANM6Easy as RefEnv
+
+    from gym_anm_tpu.compat import ANM6Easy
+
+    with qp_backend("slsqp"):
+        O1, R1, T1 = _rollout(RefEnv(), seed, 55, action_seed)
+    O2, R2, T2 = _rollout(ANM6Easy(), seed, 55, action_seed)
+    np.testing.assert_allclose(O1, O2, atol=OBS_TOL)
+    np.testing.assert_allclose(R1, R2, atol=OBS_TOL)
+    np.testing.assert_array_equal(T1, T2)
