@@ -155,8 +155,15 @@ class ANMEnv(gym.Env):
         obs = self.observation(self.state)
 
         if self.observation_space is None:
+            # float64, like every other space here: the env emits float64
+            # observations, and gymnasium's Box.contains rejects them in a
+            # float32 box.  (The reference's callable-observation path is
+            # unusable as shipped — it crashes on reset with an
+            # AttributeError before reaching this — so this working path is
+            # a deliberate fix, not a parity deviation.)
             self.observation_space = spaces.Box(
-                low=-np.ones(len(obs)) * np.inf, high=np.ones(len(obs)) * np.inf
+                low=-np.ones(len(obs)) * np.inf, high=np.ones(len(obs)) * np.inf,
+                dtype=np.float64,
             )
             self.observation_N = self.observation_space.shape[0]
 

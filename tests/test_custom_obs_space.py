@@ -1,0 +1,133 @@
+"""Custom observation spaces: list-form and callable observations.
+
+Port of the reference suite ``tests/envs/custom_obs_space.py:30-73``:
+'all' expansion into explicit IDs, per-unit bound computation, observation
+extraction against injected simulator state — plus callable-observation
+coverage the reference lacks.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from gym_anm_tpu.compat import ANMEnv
+from gym_anm_tpu.errors import ArgsError
+
+BASE_MVA = 10
+
+NETWORK = {
+    "baseMVA": BASE_MVA,
+    "bus": np.array([[0, 0, 50, 1.1, 0.9], [1, 1, 50, 1.1, 0.9], [2, 1, 100, 1.0, 1.0]]),
+    # The reference test's network carries a 90-degree phase shifter and a
+    # tap-2 transformer, which put the flat start outside the NR
+    # convergence basin for ~99% of its random initial states (verified:
+    # the reference simulator diverges identically) — its reset() passes
+    # only by RNG luck.  Nominal taps/shifts here make the test
+    # deterministic; every bound/expansion/extraction assertion below is
+    # unchanged from the reference suite (custom_obs_space.py:30-73).
+    "branch": np.array([[0, 1, 0.1, 0.2, 0.3, 20, 1, 0], [1, 2, 0.4, 0.5, 0.6, 20, 1, 0]]),
+    "device": np.array(
+        [
+            [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+            [1, 1, -1, 0.2, 0, -10] + [None] * 9,
+            [2, 2, 2, None, 30, 0, 30, -30] + [None] * 7,
+            [3, 2, 3, None, 50, -50, 50, -50, None, None, None, None, 100, 0, 0.9],
+        ],
+        dtype=object,
+    ),
+}
+
+
+def _make_env(observation, K=0):
+    env = ANMEnv(NETWORK, observation, K, 1, 0.9, 100, None, None, None)
+    # Deterministic, load-flow-convergent initial state.  (The reference
+    # test's np.random.rand(10) frequently makes NR diverge on this grid —
+    # it has a 90° phase shifter and a tap-2 transformer, so the flat start
+    # is far from the solution; verified identical divergence behavior in
+    # the reference simulator.)
+    env.init_state = lambda: np.zeros(10 + K)
+    # [P_load (MW), P_pot (MW), aux...] for the step() tests.
+    env.next_vars = lambda s_t: np.concatenate([[-1.0, 5.0], np.zeros(K)])
+    return env
+
+
+def test_list_obs_space_expansion_bounds_and_extraction():
+    observation = [("bus_p", "all", "MW"), ("dev_q", [0, 2], "pu"), ("branch_s", "all", "pu")]
+    env = _make_env(observation)
+    env.reset(seed=0)
+
+    # 'all' expands into explicit ID lists.
+    assert env.obs_values == [
+        ("bus_p", [0, 1, 2], "MW"),
+        ("dev_q", [0, 2], "pu"),
+        ("branch_s", [(0, 1), (1, 2)], "pu"),
+    ]
+
+    # Bounds per variable/unit (bus_p aggregates device bounds in MW;
+    # dev_q in p.u.; branch_s unbounded).
+    npt.assert_allclose(env.observation_space.high, [200, 0, 80, 20, 3, np.inf, np.inf])
+    npt.assert_allclose(env.observation_space.low, [-200, -10, -50, -20, -3, -np.inf, -np.inf])
+
+    # Extraction against injected simulator state.
+    ps = [100, -5, 60]
+    for i, p in enumerate(ps):
+        env.simulator.buses[i].p = p / BASE_MVA
+    qs = [-150, -20]
+    env.simulator.devices[0].q = qs[0] / BASE_MVA
+    env.simulator.devices[2].q = qs[1] / BASE_MVA
+    branch_ss = [15, 25]
+    env.simulator.branches[(0, 1)].s_apparent_max = branch_ss[0] / BASE_MVA
+    env.simulator.branches[(1, 2)].s_apparent_max = branch_ss[1] / BASE_MVA
+    env.simulator.state = env.simulator._gather_state()
+
+    obs = env.observation(None)
+    npt.assert_allclose(obs[:3], ps)                            # MW
+    npt.assert_allclose(obs[3:5], np.array(qs) / BASE_MVA)      # pu
+    npt.assert_allclose(obs[5:], np.array(branch_ss) / BASE_MVA)
+
+
+def test_list_obs_default_units():
+    """2-tuples get the variable's default unit filled in."""
+    env = _make_env([("dev_p", [1, 2])])
+    assert env.obs_values == [("dev_p", [1, 2], "MW")]  # MW is dev_p's default
+
+
+def test_des_and_gen_all_expansion():
+    env = _make_env([("des_soc", "all", "MWh"), ("gen_p_max", "all", "MW")])
+    assert env.obs_values == [("des_soc", [3], "MWh"), ("gen_p_max", [2], "MW")]
+
+
+def test_aux_observation_uses_aux_bounds():
+    env = ANMEnv(NETWORK, [("aux", "all")], 2, 1, 0.9, 100,
+                 np.array([[0, 96], [-5, 5]]), None, None)
+    env.init_state = lambda: np.zeros(12)
+    npt.assert_allclose(env.observation_space.low, [0, -5])
+    npt.assert_allclose(env.observation_space.high, [96, 5])
+
+
+def test_callable_observation():
+    """A callable observation replaces the extractor; the unbounded space
+    is inferred at reset.  (The REFERENCE's callable path crashes on reset
+    with an AttributeError — this is a documented capability it never
+    delivered; ours works.)"""
+
+    def my_obs(s_t):
+        return np.array([s_t[1], s_t[2]])  # P of devices 1, 2 (MW)
+
+    env = _make_env(my_obs)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (2,)
+    # The unbounded space was inferred from the first observation.
+    assert env.observation_space.shape == (2,)
+    assert np.all(np.isinf(env.observation_space.low))
+    # The callable receives the flat state vector [dev_p MW, dev_q MVAr, ...].
+    npt.assert_allclose(obs, [env.state[1], env.state[2]])
+
+    obs2, r, term, _, _ = env.step(env.action_space.sample())
+    assert obs2.shape == (2,)
+
+
+def test_invalid_observation_spec_raises():
+    # check_env_args rejects it first with ArgsError, like the reference.
+    with pytest.raises(ArgsError):
+        ANMEnv(NETWORK, 42, 0, 1, 0.9, 100, None, None, None)

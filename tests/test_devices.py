@@ -1,0 +1,352 @@
+"""Device-model edge cases.
+
+Port of the high-value cases of the reference's 566-LoC
+``tests/simulator/test_devices.py``: per-field spec errors, None→∞/default
+fills, τ/ρ flexibility-region coefficients, p_pot clipping, map_pq
+projections with and without flexibility limits, and SoC update/clipping.
+
+The architecture differs from the reference (no per-device objects on the
+hot path): spec parsing/validation lives in ``specs/network.py``, and the
+action→feasible-injection mapping is the batched polytope projection inside
+``physics/transition.py`` — so these tests drive ``load_network`` for the
+static properties and ``transition`` for the runtime semantics, asserting
+the same numbers the reference's ``Device.map_pq``/``update_soc`` produce.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu import errors, load_network
+from gym_anm_tpu.physics.transition import make_tables, transition
+
+BASE = 10.0
+_SLACK = [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7
+_N = None
+
+
+def _net(dev_row):
+    return {
+        "baseMVA": BASE,
+        "bus": np.array([[0, 0, 50, 1.1, 0.9], [1, 1, 50, 1.1, 0.9], [2, 1, 50, 1.1, 0.9]]),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0, 100, 1, 0], [1, 2, 0.01, 0.1, 0, 100, 1, 0]]),
+        "device": np.array([_SLACK, dev_row], dtype=object),
+    }
+
+
+def _spec(dev_row):
+    return load_network(_net(dev_row))
+
+
+def _tables(dev_row, delta_t=1.0):
+    return make_tables(_spec(dev_row), delta_t, lamb=100, dtype=jnp.float64)
+
+
+def _gen_map(tb, p_mw, q_mvar, p_pot_mw):
+    """dev_p/dev_q of the generator after one transition (p.u.)."""
+    out = transition(
+        tb, jnp.zeros(0), jnp.array([p_pot_mw]), jnp.array([p_mw]),
+        jnp.array([q_mvar]), jnp.zeros(0), jnp.zeros(0), jnp.zeros(0),
+        jnp.zeros(0), jnp.zeros(0), jnp.full(2, jnp.inf),
+    )
+    return float(out.dev_p[1]), float(out.dev_q[1])
+
+
+def _des_step(tb, p_mw, q_mvar, soc_pu):
+    """(dev_p, dev_q, new_soc) of the storage unit after one transition."""
+    out = transition(
+        tb, jnp.zeros(0), jnp.zeros(0), jnp.zeros(0), jnp.zeros(0),
+        jnp.array([p_mw]), jnp.array([q_mvar]), jnp.zeros(0), jnp.zeros(0),
+        jnp.array([soc_pu]), jnp.full(2, jnp.inf),
+    )
+    return float(out.dev_p[1]), float(out.dev_q[1]), float(out.des_soc[0])
+
+
+# ---------------------------------------------------------------------------
+# Generic device spec errors (test_devices.py:18-28)
+# ---------------------------------------------------------------------------
+def test_bad_bus_id():
+    for b in [-1, 3, 4]:
+        with pytest.raises(errors.DeviceSpecError):
+            _spec([2, b, 1, _N, 10, 1, 10, -10] + [_N] * 7)
+
+
+def test_bad_type():
+    for t in [-3, -2, 6]:
+        with pytest.raises(errors.DeviceSpecError):
+            _spec([2, 1, t, _N, 10, 1, 10, -10] + [_N] * 7)
+
+
+# ---------------------------------------------------------------------------
+# Loads (test_devices.py:39-97)
+# ---------------------------------------------------------------------------
+def test_load_fields():
+    spec = _spec([2, 1, -1, 0.2, 0, -10] + [_N] * 9)
+    d = spec.dev_pos_of(2)
+    assert spec.qp_ratio[d] == 0.2
+    assert spec.p_max[d] == 0.0
+    assert spec.p_min[d] == -10 / BASE
+    assert spec.q_max[d] == 0.0
+    assert spec.q_min[d] == 0.2 * -10 / BASE
+    for a in (spec.p_plus, spec.q_minus, spec.soc_max, spec.soc_min, spec.eff):
+        assert np.isnan(a[d])
+
+
+def test_load_missing_qp_ratio():
+    with pytest.raises(errors.LoadSpecError):
+        _spec([2, 1, -1, _N, 0, -10] + [_N] * 9)
+
+
+def test_load_positive_p_max():
+    with pytest.raises(errors.LoadSpecError):
+        _spec([2, 1, -1, 0.2, 1, -10] + [_N] * 9)
+
+
+def test_load_infeasible_p_bounds():
+    with pytest.raises(errors.LoadSpecError):
+        _spec([2, 1, -1, 0.2, -5, -2] + [_N] * 9)
+
+
+def test_load_map_pq_clipping():
+    tb = _tables([2, 1, -1, 0.2, 0, -10] + [_N] * 9)
+
+    def load_map(p_mw):
+        out = transition(
+            tb, jnp.array([p_mw]), jnp.zeros(0), jnp.zeros(0), jnp.zeros(0),
+            jnp.zeros(0), jnp.zeros(0), jnp.zeros(0), jnp.zeros(0),
+            jnp.zeros(0), jnp.full(2, jnp.inf),
+        )
+        return float(out.dev_p[1]), float(out.dev_q[1])
+
+    rng = np.random.RandomState(0)
+    for p in rng.uniform(-10, 0, 10):         # in range
+        pp, qq = load_map(p)
+        np.testing.assert_allclose([pp, qq], [p / BASE, 0.2 * p / BASE])
+    for p in rng.uniform(-50, -10, 5):        # below p_min
+        assert load_map(p) == (-10 / BASE, -2 / BASE)
+    for p in rng.uniform(0.5, 50, 5):         # above p_max = 0
+        assert load_map(p) == (0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Generators (test_devices.py:100-299)
+# ---------------------------------------------------------------------------
+def test_gen_tau_rho_formulas():
+    spec = _spec([2, 1, 1, _N, 10, 1, 10, -10, 5, _N, 5, -5] + [_N] * 3)
+    d = spec.dev_pos_of(2)
+    tau_1 = (5 - 10) / (10 - 5)
+    tau_2 = (-5 - -10) / (10 - 5)
+    np.testing.assert_allclose(spec.tau_1[d], tau_1, atol=1e-10)
+    np.testing.assert_allclose(spec.tau_2[d], tau_2, atol=1e-10)
+    np.testing.assert_allclose(spec.rho_1[d], (10 - tau_1 * 5) / BASE, atol=1e-10)
+    np.testing.assert_allclose(spec.rho_2[d], (-10 - tau_2 * 5) / BASE, atol=1e-10)
+    assert np.isnan(spec.tau_3[d]) and np.isnan(spec.rho_4[d])
+
+
+def test_gen_spec_errors():
+    with pytest.raises(errors.GenSpecError):   # PMIN < 0
+        _spec([2, 1, 1, _N, 10, -1, 10, -10] + [_N] * 7)
+    with pytest.raises(errors.GenSpecError):   # PMAX < PMIN
+        _spec([2, 1, 1, _N, 1, 2, 10, -10] + [_N] * 7)
+    with pytest.raises(errors.GenSpecError):   # QMAX < QMIN
+        _spec([2, 1, 1, _N, 10, 1, 1, 2] + [_N] * 7)
+
+
+def test_gen_default_fills():
+    spec = _spec([2, 1, 1, _N, _N, 1, 10, 1] + [_N] * 7)
+    assert spec.p_max[spec.dev_pos_of(2)] == np.inf          # PMAX None → ∞
+    spec = _spec([2, 1, 1, _N, 10, _N, 10, 1] + [_N] * 7)
+    assert spec.p_min[spec.dev_pos_of(2)] == 0.0             # PMIN None → 0
+    spec = _spec([2, 1, 1, _N, 10, 1, _N, 1] + [_N] * 7)
+    assert spec.q_max[spec.dev_pos_of(2)] == np.inf          # QMAX None → ∞
+    spec = _spec([2, 1, 1, _N, 10, 1, 10, _N] + [_N] * 7)
+    assert spec.q_min[spec.dev_pos_of(2)] == -np.inf         # QMIN None → −∞
+
+
+def test_gen_p_plus_rules():
+    for p_plus in [0.5, 11]:                   # outside [PMIN, PMAX]
+        with pytest.raises(errors.GenSpecError):
+            _spec([2, 1, 1, _N, 10, 1, 10, 1, p_plus] + [_N] * 6)
+    spec = _spec([2, 1, 1, _N, 10, 1, 10, 1] + [_N] * 7)     # None → PMAX
+    assert spec.p_plus[spec.dev_pos_of(2)] == 10 / BASE
+
+
+def test_gen_q_plus_minus_rules():
+    for q_plus in [0.5, 11]:
+        with pytest.raises(errors.GenSpecError):
+            _spec([2, 1, 1, _N, 10, 1, 10, 1, _N, _N, q_plus] + [_N] * 4)
+    for q_minus in [0.5, 11]:
+        with pytest.raises(errors.GenSpecError):
+            _spec([2, 1, 1, _N, 10, 1, 10, 1, _N, _N, _N, q_minus] + [_N] * 3)
+    with pytest.raises(errors.GenSpecError):   # Q− > Q+
+        _spec([2, 1, 1, _N, 10, 1, 15, 1, _N, _N, 1, 2] + [_N] * 3)
+    spec = _spec([2, 1, 1, _N, 10, 1, 15, 1] + [_N] * 7)
+    d = spec.dev_pos_of(2)
+    assert spec.q_plus[d] == 15 / BASE                       # None → QMAX
+    assert spec.q_minus[d] == 1 / BASE                       # None → QMIN
+
+
+def test_gen_no_flexibility_limits_zero_tau():
+    """P+ = None or PMAX (and Q+/Q− at their bounds) ⇒ τ coefficients 0."""
+    for p_plus in [_N, 10]:
+        spec = _spec([2, 1, 1, _N, 10, 1, 2, -3, p_plus, _N, 1, -1] + [_N] * 3)
+        d = spec.dev_pos_of(2)
+        assert spec.tau_1[d] == 0 and spec.tau_2[d] == 0
+    for q_plus in [_N, 5]:
+        spec = _spec([2, 1, 1, _N, 10, 1, 5, -3, 5, _N, q_plus, -1] + [_N] * 3)
+        assert spec.tau_1[spec.dev_pos_of(2)] == 0
+    for q_minus in [_N, -3]:
+        spec = _spec([2, 1, 1, _N, 10, 1, 2, -3, 5, _N, 1, q_minus] + [_N] * 3)
+        assert spec.tau_2[spec.dev_pos_of(2)] == 0
+
+
+def test_gen_p_pot_clipping():
+    """P_potential is clipped into [p_min, p_max] before entering the
+    feasible region (devices.py:183-189)."""
+    tb = _tables([2, 1, 1, _N, 10, 1, 2, -3] + [_N] * 7)
+    rng = np.random.RandomState(1)
+    for p_pot in rng.uniform(-10, 15, 10):
+        out = transition(
+            tb, jnp.zeros(0), jnp.array([p_pot]), jnp.array([20.0]),
+            jnp.array([0.0]), jnp.zeros(0), jnp.zeros(0), jnp.zeros(0),
+            jnp.zeros(0), jnp.zeros(0), jnp.full(2, jnp.inf),
+        )
+        np.testing.assert_allclose(
+            float(out.gen_p_pot[0]), np.clip(p_pot / BASE, 1 / BASE, 10 / BASE)
+        )
+
+
+def test_gen_map_pq_no_flexibility():
+    """Without flexibility limits, map_pq = axis-aligned clipping with
+    p ≤ min(p_max, p_pot)."""
+    tb = _tables([2, 1, 1, _N, 10, 1, 2, -3] + [_N] * 7)
+    rng = np.random.RandomState(2)
+    for p, q, p_pot in zip(rng.uniform(-10, 10, 12), rng.uniform(-10, 10, 12),
+                           rng.uniform(1, 10, 12)):
+        pp, qq = _gen_map(tb, p, q, p_pot)
+        np.testing.assert_allclose(
+            pp, np.clip(p / BASE, 1 / BASE, min(10, p_pot) / BASE), atol=1e-9)
+        np.testing.assert_allclose(qq, np.clip(q / BASE, -3 / BASE, 2 / BASE), atol=1e-9)
+
+
+def test_gen_map_pq_with_flexibility():
+    """The reference's hand-computed projection points onto the sloped
+    feasible region (test_devices.py: test_map_pq_with_flex_limits)."""
+    tb = _tables([2, 1, 1, _N, 10, 1, 2, -2, 9, _N, 1, -1] + [_N] * 3)
+    points = np.array([(-1, 0.5), (5, 5), (5, -5), (12, 0), (10, 2), (10, -2)]) / BASE
+    mapped = np.array([(1, 0.5), (5, 2), (5, -2), (10, 0), (9.5, 1.5), (9.5, -1.5)]) / BASE
+    for (p, q), (mp, mq) in zip(points, mapped):
+        pp, qq = _gen_map(tb, p * BASE, q * BASE, 10.0)
+        np.testing.assert_allclose([pp, qq], [mp, mq], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Storage units (test_devices.py:302-560)
+# ---------------------------------------------------------------------------
+_SU = [2, 1, 3, _N, 10, -12, 20, -30, 5, -6, 10, -15, 100, 10, 0.9]
+
+
+def test_storage_tau_rho_formulas():
+    spec = _spec(_SU)
+    d = spec.dev_pos_of(2)
+    tau_1 = (10 - 20) / (10 - 5)
+    tau_2 = (-15 - -30) / (10 - 5)
+    tau_3 = (-30 - -15) / (-6 - -12)
+    tau_4 = (20 - 10) / (-6 - -12)
+    np.testing.assert_allclose(
+        [spec.tau_1[d], spec.tau_2[d], spec.tau_3[d], spec.tau_4[d]],
+        [tau_1, tau_2, tau_3, tau_4], atol=1e-10)
+    np.testing.assert_allclose(
+        [spec.rho_1[d], spec.rho_2[d], spec.rho_3[d], spec.rho_4[d]],
+        [(20 - tau_1 * 5) / BASE, (-30 - tau_2 * 5) / BASE,
+         (-30 - tau_3 * -6) / BASE, (20 - tau_4 * -6) / BASE], atol=1e-10)
+
+
+def test_storage_spec_errors():
+    def su(over):
+        row = list(_SU)
+        for i, v in over.items():
+            row[i] = v
+        return row
+
+    for bad in (
+        su({4: 10, 5: 12}),      # PMAX < PMIN
+        su({7: 30}),             # QMAX < QMIN
+        su({4: -10}),            # PMAX < 0
+        su({5: 5}),              # PMIN > 0
+        su({8: -15}), su({8: 25}),   # P+ out of bounds
+        su({9: -15}), su({9: 25}),   # P− out of bounds
+        su({10: -35}), su({10: 25}),  # Q+ out of bounds
+        su({11: -35}), su({11: 25}),  # Q− out of bounds
+        su({10: 10, 11: 15}),    # Q− > Q+
+        su({13: -1}),            # negative SoC bound
+        su({12: 10, 13: 20}),    # SOC_MAX < SOC_MIN
+        su({14: -0.5}), su({14: 1.5}),  # EFF outside (0, 1]
+    ):
+        with pytest.raises(errors.StorageSpecError):
+            _spec(bad)
+
+
+def test_storage_default_fills():
+    spec = _spec([2, 1, 3, _N, _N, -12, _N, _N, _N, _N, _N, _N, 100, 10, 0.9])
+    d = spec.dev_pos_of(2)
+    assert spec.p_max[d] == np.inf and spec.q_max[d] == np.inf
+    assert spec.q_min[d] == -np.inf
+    assert spec.p_plus[d] == np.inf       # None → PMAX
+    assert spec.p_minus[d] == -12 / BASE  # None → PMIN
+    spec = _spec([2, 1, 3, _N, 10, _N, 20, -30, 5, _N, 10, -15, 100, 10, 0.9])
+    assert spec.p_min[spec.dev_pos_of(2)] == -np.inf
+
+
+def test_storage_soc_update_asymmetric_efficiency():
+    """Discharge: soc −= Δt·p/η.  Charge: soc −= Δt·η·p (devices.py:526-547)."""
+    tb1 = _tables(_SU, delta_t=1.0)
+    tb2 = _tables(_SU, delta_t=0.25)
+    rng = np.random.RandomState(3)
+    for tb, dt in ((tb1, 1.0), (tb2, 0.25)):
+        for p in rng.uniform(0, 10, 6):          # discharging
+            _, _, soc = _des_step(tb, p, 0.0, 50 / BASE)
+            np.testing.assert_allclose(soc * BASE, 50 - dt * p / 0.9, atol=1e-9)
+        for p in rng.uniform(-10, 0, 6):         # charging
+            _, _, soc = _des_step(tb, p, 0.0, 50 / BASE)
+            np.testing.assert_allclose(soc * BASE, 50 - dt * p * 0.9, atol=1e-9)
+
+
+def test_storage_soc_clipping():
+    su = [2, 1, 3, _N, 10, -12, 20, -30, 5, -6, 10, -15, 10, 0, 1]
+    tb = _tables(su, delta_t=1.0)
+    # Note: map_pq itself bounds |p| by the SoC-rate constraints, so after
+    # projection the SoC clip is a no-op safety net — exactly like the
+    # reference, where update_soc clips what map_pq already made feasible.
+    _, _, soc = _des_step(tb, -12.0, 0.0, 9 / BASE)   # charge into full
+    np.testing.assert_allclose(soc, 10 / BASE, atol=1e-9)
+    _, _, soc = _des_step(tb, 10.0, 0.0, 1 / BASE)    # discharge past empty
+    np.testing.assert_allclose(soc, 0.0, atol=1e-9)
+
+
+def test_storage_map_pq_no_flexibility():
+    su = [2, 1, 3, _N, 10, -12, 20, -30, _N, _N, _N, _N, 1000, 0, 1]
+    tb = _tables(su, delta_t=1.0)
+    rng = np.random.RandomState(4)
+    soc0 = 500 / BASE
+    # Outside the box → clipped to it.
+    for p in list(rng.uniform(-20, -12, 4)) + list(rng.uniform(10.01, 20, 4)):
+        for q in list(rng.uniform(-40, -30, 2)) + list(rng.uniform(20.01, 30, 2)):
+            pp, qq, _ = _des_step(tb, p, q, soc0)
+            np.testing.assert_allclose(pp, np.clip(p, -12, 10) / BASE, atol=1e-9)
+            np.testing.assert_allclose(qq, np.clip(q, -30, 20) / BASE, atol=1e-9)
+    # Inside the box → identity.
+    for p in [-10, -5, 0, 5, 10]:
+        for q in [-30, -10, 0, 15]:
+            pp, qq, _ = _des_step(tb, float(p), float(q), soc0)
+            np.testing.assert_allclose([pp, qq], [p / BASE, q / BASE], atol=1e-9)
+
+
+def test_storage_map_pq_with_flexibility():
+    su = [2, 1, 3, _N, 10, -11, 20, -30, 5, -6, 15, -25, 1000, 0, 1]
+    tb = _tables(su, delta_t=1.0)
+    points = np.array([(8.5, 18.5), (8.5, -28.5), (-9.5, 18.5), (-9.5, -28.5)])
+    mapped = np.array([(7.5, 17.5), (7.5, -27.5), (-8.5, 17.5), (-8.5, -27.5)]) / BASE
+    for (p, q), (mp, mq) in zip(points, mapped):
+        pp, qq, _ = _des_step(tb, p, q, 500 / BASE)
+        np.testing.assert_allclose([pp, qq], [mp, mq], atol=1e-6)
