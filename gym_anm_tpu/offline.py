@@ -25,73 +25,79 @@ from .specs.constants import (
 
 
 # ---------------------------------------------------------------------------
-# Dataset utilities (offline.py:7-103)
+# Dataset utilities (same API surface as the reference's offline.py:7-103;
+# shared auto-resetting collection core, per-step agent selection factored
+# out as a callable)
 # ---------------------------------------------------------------------------
-def generate_dataset(env, agent: Optional[Callable], steps: int):
-    """Collect (state, action) pairs; ``agent=None`` samples random actions."""
-    states, actions = [], []
+def _collect_pairs(env, steps: int, select_agent: Callable[[int], Optional[Callable]]):
+    """Auto-resetting (state, action) collection loop shared by the dataset
+    generators.  ``select_agent(t)`` names the acting agent for step ``t``;
+    ``None`` means uniform-random actions from the action space."""
+    pairs = []
     obs, _ = env.reset()
-    for _ in range(steps):
+    for t in range(steps):
+        agent = select_agent(t)
         action = env.action_space.sample() if agent is None else agent.act(env)
         next_obs, _, terminated, truncated, _ = env.step(action)
-        states.append(obs)
-        actions.append(action)
+        pairs.append((obs, action))
         obs = env.reset()[0] if (terminated or truncated) else next_obs
-    return np.array(states), np.array(actions)
+    states, actions = zip(*pairs)
+    return np.stack(states), np.stack(actions)
+
+
+def generate_dataset(env, agent: Optional[Callable], steps: int):
+    """Collect (state, action) pairs; ``agent=None`` samples random actions."""
+    return _collect_pairs(env, steps, lambda t: agent)
 
 
 def generate_mixed_dataset(
     env, agents: Sequence[Optional[Callable]], steps: int,
     weights: Optional[Sequence[float]] = None,
 ):
-    """Collect a dataset from a per-step random mixture of agents."""
-    states, actions = [], []
-    obs, _ = env.reset()
+    """Collect a dataset from a per-step random mixture of agents.
 
-    if weights is not None:
-        w = np.asarray(weights, dtype=float)
-        if w.shape[0] != len(agents):
+    Selection draws from the GLOBAL numpy RNG (the reference's second RNG
+    regime, SURVEY §2.2(7)) — seed ``np.random`` for reproducibility.
+    """
+    if weights is None:
+        select = lambda t: agents[np.random.randint(len(agents))]  # noqa: E731
+    else:
+        probs = np.asarray(weights, dtype=float)
+        if len(probs) != len(agents):
             raise ValueError("Length of weights must match number of agents")
-        w = w / w.sum()
-
-    for _ in range(steps):
-        if weights is None:
-            idx = np.random.randint(len(agents))
-        else:
-            idx = int(np.random.choice(len(agents), p=w))
-        agent = agents[idx]
-        action = env.action_space.sample() if agent is None else agent.act(env)
-        next_obs, _, terminated, truncated, _ = env.step(action)
-        states.append(obs)
-        actions.append(action)
-        obs = env.reset()[0] if (terminated or truncated) else next_obs
-    return np.array(states), np.array(actions)
+        probs = probs / probs.sum()
+        select = lambda t: agents[int(np.random.choice(len(agents), p=probs))]  # noqa: E731
+    return _collect_pairs(env, steps, select)
 
 
 def behavior_cloning(states: np.ndarray, actions: np.ndarray, action_space):
-    """Least-squares linear policy with bias, clipped to the action space."""
-    X = np.concatenate([states, np.ones((states.shape[0], 1))], axis=1)
-    w, _, _, _ = np.linalg.lstsq(X, actions, rcond=None)
+    """Fit a linear-with-bias policy by least squares; outputs are clipped
+    to the action box.  (The vectorized on-device variant is
+    :func:`gym_anm_tpu.offline_vec.behavior_cloning_vec`.)"""
+    design = np.pad(states, ((0, 0), (0, 1)), constant_values=1.0)
+    coef = np.linalg.lstsq(design, actions, rcond=None)[0]
+    W, b = coef[:-1], coef[-1]
+    lo, hi = action_space.low, action_space.high
 
     def policy(state):
-        a = np.dot(np.append(state, 1.0), w)
-        return np.clip(a, action_space.low, action_space.high)
+        return np.clip(state @ W + b, lo, hi)
 
     return policy
 
 
 def evaluate_policy(env, policy, episodes: int = 1, max_steps: int = 10):
-    """Mean undiscounted return of ``policy(obs) -> action``."""
-    total_reward = 0.0
+    """Mean undiscounted return of ``policy(obs) -> action`` over fresh
+    episodes, each capped at ``max_steps`` (truncation is not treated as
+    termination, matching the reference)."""
+    total = 0.0
     for _ in range(episodes):
         obs, _ = env.reset()
-        done = False
-        steps = 0
-        while not done and steps < max_steps:
-            obs, reward, done, _, _ = env.step(policy(obs))
-            total_reward += reward
-            steps += 1
-    return total_reward / episodes
+        for _ in range(max_steps):
+            obs, reward, terminated, _, _ = env.step(policy(obs))
+            total += reward
+            if terminated:
+                break
+    return total / episodes
 
 
 # ---------------------------------------------------------------------------
