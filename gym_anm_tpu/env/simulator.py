@@ -29,6 +29,36 @@ from ..specs.constants import (
 )
 from ..specs.network import load_network
 
+# Shared compile cache for the jitted transition, keyed by the grid-table
+# content.  A fresh `jax.jit(lambda ...)` per Simulator instance would give
+# each instance its own trace cache, so every new Simulator on the SAME
+# network would recompile the full step (~40 s on a tunneled TPU); sharing
+# the jitted callable makes the second instance's first step a cache hit.
+_STEP_CACHE = {}
+
+
+def _tables_fingerprint(tables):
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(tables):
+        if isinstance(leaf, np.ndarray):
+            h.update(str(leaf.dtype).encode())
+            h.update(str(leaf.shape).encode())
+            h.update(leaf.tobytes())
+        else:
+            h.update(repr(leaf).encode())
+    return h.hexdigest()
+
+
+def _shared_jit_step(tables):
+    key = _tables_fingerprint(tables)
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda *args, _tb=tables: transition(_tb, *args))
+        _STEP_CACHE[key] = fn
+    return fn
+
 
 class BusView:
     """Window onto one bus' runtime quantities."""
@@ -220,7 +250,7 @@ class Simulator:
         self._rates = spec.br_rate.copy()
 
         self._tables = make_tables(spec, delta_t, lamb, dtype=jnp.float64)
-        self._jit_step = jax.jit(lambda *args: transition(self._tables, *args))
+        self._jit_step = _shared_jit_step(self._tables)
 
         # Object maps (sorted orders match the reference's OrderedDicts).
         self.buses = OrderedDict((int(spec.bus_ids[i]), BusView(self, i)) for i in range(spec.n_bus))
