@@ -1,0 +1,95 @@
+"""Multi-process distributed smoke: the jax.distributed init path executes.
+
+The virtual-device tests (test_multidevice_equivalence.py) cover sharding
+semantics but never run ``jax.distributed.initialize`` — the code path a
+real ≥2-host deployment enters first.  Here the sharded PPO train step runs
+across TWO OS processes (2 virtual CPU devices each, Gloo collectives) and
+must produce (a) identical global metrics on both processes — the gradient
+psum crosses the process boundary — and (b) the same numbers as a
+single-process run of the identical computation.
+"""
+
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = "scripts/multihost_smoke.py"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(n_procs=2, timeout=300):
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(n_procs), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(n_procs)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append((p.returncode, out))
+    return outs
+
+
+def _single_process_reference():
+    """The same computation on one process (4 of the 8 virtual devices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gym_anm_tpu.parallel import PPOConfig, init_train_state, make_train_step
+    from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("env",))
+    env_sh = NamedSharding(mesh, P("env"))
+    rep_sh = NamedSharding(mesh, P())
+
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    cfg = PPOConfig(hidden=16, rollout_len=2)
+    B = 8
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, obs = jax.vmap(env.reset)(keys)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, env_sh), state)
+    obs = jax.device_put(obs, env_sh)
+    ts = init_train_state(jax.random.PRNGKey(1), env.n_state, env.n_action, cfg)
+    ts = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep_sh), ts)
+
+    train_step = jax.jit(
+        make_train_step(env, cfg),
+        in_shardings=(rep_sh, env_sh, env_sh),
+        out_shardings=(rep_sh, env_sh, env_sh, rep_sh),
+    )
+    _, _, _, metrics = train_step(ts, state, obs)
+    return float(metrics["loss"]), float(metrics["mean_reward"])
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    outs = _run_workers()
+    results = {}
+    for rc, out in outs:
+        assert rc == 0, f"worker failed:\n{out[-2000:]}"
+        m = re.search(r"RESULT (\d+) (\S+) (\S+)", out)
+        assert m, f"no RESULT line:\n{out[-2000:]}"
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+
+    assert set(results) == {0, 1}
+    # Global metrics are identical across processes (the psum is global).
+    np.testing.assert_allclose(results[0], results[1], rtol=0, atol=0)
+
+    # And match the identical computation on a single process.
+    ref = _single_process_reference()
+    np.testing.assert_allclose(results[0], ref, rtol=2e-4, atol=1e-6)
