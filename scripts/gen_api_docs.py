@@ -1,0 +1,133 @@
+"""Generate docs/api_reference.md from the package's docstrings.
+
+The reference ships a sphinx/autosummary API site (docs/source/conf.py);
+this repo keeps its documentation as plain markdown, so the API reference
+is generated the same way — introspected from the live modules — without a
+sphinx build step.  Regenerate after changing public APIs:
+
+    python scripts/gen_api_docs.py
+"""
+
+import importlib
+import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MODULES = [
+    ("gym_anm_tpu", "Package root: registry, spec loading"),
+    ("gym_anm_tpu.specs.network", "Network specification + validators"),
+    ("gym_anm_tpu.specs.constants", "Input-schema constants"),
+    ("gym_anm_tpu.physics.ybus", "Admittance-matrix construction"),
+    ("gym_anm_tpu.physics.power_flow", "Batched Newton-Raphson + chord solver"),
+    ("gym_anm_tpu.physics.projection", "Exact 2-D polytope projection"),
+    ("gym_anm_tpu.physics.transition", "The full grid transition kernel"),
+    ("gym_anm_tpu.env.simulator", "Object-API simulator facade"),
+    ("gym_anm_tpu.compat.anm_env", "Gymnasium base environment"),
+    ("gym_anm_tpu.compat", "Concrete compat environments"),
+    ("gym_anm_tpu.vec.core", "Vectorized environment engine"),
+    ("gym_anm_tpu.vec.tasks", "Vectorized task definitions"),
+    ("gym_anm_tpu.vec.controllers", "Vectorized L0-L5 controllers"),
+    ("gym_anm_tpu.vec.experts", "Vectorized heuristic experts"),
+    ("gym_anm_tpu.agents.mpc", "MPC DC-OPF agents"),
+    ("gym_anm_tpu.agents", "Controller hierarchies"),
+    ("gym_anm_tpu.offline", "Offline-RL utilities + expert zoo"),
+    ("gym_anm_tpu.offline_vec", "On-device dataset generation"),
+    ("gym_anm_tpu.parallel.mesh", "Device-mesh utilities"),
+    ("gym_anm_tpu.parallel.ppo", "Data-parallel PPO learner"),
+    ("gym_anm_tpu.parallel.cql", "Offline CQL learner"),
+    ("gym_anm_tpu.utils.checkpoint", "Orbax checkpointing"),
+    ("gym_anm_tpu.utils.metrics", "On-device metric accumulators"),
+    ("gym_anm_tpu.utils.profiling", "Profiling helpers"),
+    ("gym_anm_tpu.render", "Browser rendering subsystem"),
+    ("gym_anm_tpu.errors", "Exception types"),
+]
+
+
+def _first_paragraph(doc):
+    if not doc:
+        return ""
+    doc = inspect.cleandoc(doc)
+    return doc.split("\n\n")[0].replace("\n", " ")
+
+
+def _signature(obj):
+    try:
+        return str(inspect.signature(obj))
+    except (TypeError, ValueError):
+        return "(...)"
+
+
+def _public_members(mod):
+    names = getattr(mod, "__all__", None)
+    if names is None:
+        names = [n for n in vars(mod) if not n.startswith("_")]
+    out = []
+    for n in names:
+        obj = getattr(mod, n, None)
+        if obj is None or inspect.ismodule(obj):
+            continue
+        # Only document members defined (or re-exported) here.
+        mod_of = getattr(obj, "__module__", mod.__name__)
+        if not (inspect.isclass(obj) or inspect.isfunction(obj)):
+            continue
+        if getattr(mod, "__all__", None) is None and mod_of != mod.__name__:
+            continue
+        out.append((n, obj))
+    return out
+
+
+def render_module(name, tagline):
+    mod = importlib.import_module(name)
+    lines = [f"## `{name}`", "", f"{tagline}.", ""]
+    head = _first_paragraph(mod.__doc__)
+    if head:
+        lines += [head, ""]
+    for n, obj in _public_members(mod):
+        if inspect.isclass(obj):
+            lines.append(f"### `{name}.{n}`")
+            lines.append("")
+            doc = _first_paragraph(obj.__doc__)
+            if doc:
+                lines += [doc, ""]
+            for mn, m in inspect.getmembers(obj, predicate=inspect.isfunction):
+                if mn.startswith("_") and mn != "__init__":
+                    continue
+                if m.__qualname__.split(".")[0] != obj.__name__:
+                    continue  # inherited
+                mdoc = _first_paragraph(m.__doc__)
+                lines.append(f"- **`{mn}{_signature(m)}`**" + (f" — {mdoc}" if mdoc else ""))
+            lines.append("")
+        else:
+            doc = _first_paragraph(obj.__doc__)
+            lines.append(f"### `{name}.{n}{_signature(obj)}`")
+            lines.append("")
+            if doc:
+                lines += [doc, ""]
+    return "\n".join(lines)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    parts = [
+        "# API reference",
+        "",
+        "Generated from docstrings by `scripts/gen_api_docs.py` — regenerate",
+        "after changing public APIs.  Reference-parity citations "
+        "(`file:line` into the upstream gym-anm) live in the docstrings.",
+        "",
+    ]
+    for name, tagline in MODULES:
+        parts.append(render_module(name, tagline))
+    out = os.path.join(os.path.dirname(__file__), "..", "docs", "api_reference.md")
+    with open(out, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    print(f"wrote {os.path.normpath(out)} ({len(parts)} sections)")
+
+
+if __name__ == "__main__":
+    main()
