@@ -118,6 +118,9 @@ class ANM6(ANMEnv):
             "devBus": [dev.bus_id for dev in sim.devices.values()],
             "branchFrom": [f for f, _ in sim.branches.keys()],
             "branchTo": [t for _, t in sim.branches.keys()],
+            # The hand-tuned ANM6 diagram arrangement (reference artwork
+            # equivalent, render/rendering.py:ANM6_LAYOUT).
+            "busXY": rendering.ANM6_LAYOUT,
         }
         self.http_server, self.ws_server = rendering.start(
             title, dev_type, ps, qs, branch_rate, bus_v_min, bus_v_max, soc_max,

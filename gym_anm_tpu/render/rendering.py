@@ -66,14 +66,33 @@ def feeder_layout(n_bus, branch_from, branch_to, slack=0):
     return out
 
 
+# Hand-tuned one-line-diagram layout for the ANM6 grid, mirroring the
+# spatial arrangement of the reference's hand-drawn dashboard artwork
+# (envs/anm6/network.svg): the 132 kV substation on the left, the 33 kV
+# trunk 0→1→2 running right, the {house+PV} lateral below bus 1, the
+# {factory+wind} lateral below bus 2, and the {EV+storage} feeder
+# continuing right.  Passed as ``topology["busXY"]`` by the ANM6 envs;
+# other grids fall back to :func:`feeder_layout`.
+ANM6_LAYOUT = {
+    0: [0.05, 0.45],
+    1: [0.32, 0.45],
+    2: [0.58, 0.45],
+    3: [0.32, 0.85],
+    4: [0.58, 0.85],
+    5: [0.88, 0.45],
+}
+
+
 def start(title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max,
           soc_max, costs_range, topology=None, open_browser=True):
     """Start the dashboard servers and publish the init message
     (rendering.py:12-107 equivalent; returns (http_server, ws_server)).
 
     ``topology``: optional dict with busIds, devBus, branchFrom, branchTo —
-    enables the generic one-line diagram.  Without it the page shows only
-    the scalar panels.
+    enables the generic one-line diagram; an optional ``busXY`` entry
+    ({bus_id: [x, y] in [0,1]²}) overrides the automatic feeder layout
+    (e.g. :data:`ANM6_LAYOUT`).  Without topology the page shows only the
+    scalar panels.
     """
     ws_server = WsServer()
     http_server = HttpServer(render_page(ws_server.address))
@@ -95,12 +114,19 @@ def start(title, dev_type, p_max, q_max, s_rate, v_magn_min, v_magn_max,
         bf = list(map(int, topology["branchFrom"]))
         bt = list(map(int, topology["branchTo"]))
         pos = {b: i for i, b in enumerate(bus_ids)}
+        xy = topology.get("busXY")
+        if xy is not None:
+            bus_xy = [list(map(float, xy[b])) for b in bus_ids]
+        else:
+            bus_xy = feeder_layout(
+                len(bus_ids), [pos[f] for f in bf], [pos[t] for t in bt]
+            )
         init.update(
             busIds=bus_ids,
             devBus=[pos[int(b)] for b in topology["devBus"]],
             branchFrom=[pos[f] for f in bf],
             branchTo=[pos[t] for t in bt],
-            busXY=feeder_layout(len(bus_ids), [pos[f] for f in bf], [pos[t] for t in bt]),
+            busXY=bus_xy,
         )
     ws_server.broadcast(json.dumps(init))
 

@@ -94,6 +94,31 @@ def test_start_update_close_roundtrip():
         close(http_server, ws_server)
 
 
+def test_layout_override_and_anm6_preset():
+    """topology["busXY"] overrides the automatic feeder layout; the ANM6
+    preset covers all six buses with in-range coordinates."""
+    from gym_anm_tpu.render.rendering import ANM6_LAYOUT
+
+    assert sorted(ANM6_LAYOUT) == [0, 1, 2, 3, 4, 5]
+    assert all(0 <= c <= 1 for xy in ANM6_LAYOUT.values() for c in xy)
+
+    http_server, ws_server = start(
+        "Custom", [0, -1], [10, 5], [5, 3], [15], [0.95, 0.95],
+        [1.05, 1.05], [], (1, 100),
+        topology={"busIds": [0, 1], "devBus": [0, 1],
+                  "branchFrom": [0], "branchTo": [1],
+                  "busXY": {0: [0.1, 0.2], 1: [0.9, 0.8]}},
+        open_browser=False,
+    )
+    try:
+        client = WsClient(ws_server.address)
+        init = json.loads(client.recv())
+        assert init["busXY"] == [[0.1, 0.2], [0.9, 0.8]]
+        client.close()
+    finally:
+        close(http_server, ws_server)
+
+
 def test_anm6_render_publishes_real_state():
     """env.render() through the compat ANM6 publishes init + per-step
     update frames with the live grid state (anm6.py:46-111 behavior)."""
