@@ -38,6 +38,11 @@ class NRResult(NamedTuple):
     diff: jax.Array      # final ‖F‖∞
     converged: jax.Array  # bool: no NaN encountered
     stable: jax.Array    # bool: converged and diff <= xtol
+    # Final mismatch [2(N−1)] = [Re(S)−p; Im(S)−q] at the returned iterate:
+    # lets callers recover exact bus powers S (and currents I = conj(S/V))
+    # WITHOUT re-evaluating Y·V — the f32 transition epilogue uses this to
+    # skip four HIGHEST-precision matvecs per step.
+    F: jax.Array = None
 
 
 def _assemble_v(theta, vm, dtype):
@@ -302,7 +307,12 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         v_re, v_im = _assemble_v(theta, vm, dtype)
         # HIGHEST precision: this is the convergence criterion (see
         # _mismatch); the chord UPDATE matmuls below stay at the fast
-        # default — they only shape the iteration path, not its fixed point.
+        # default — they only shape the iteration path, not its fixed
+        # point.  (A two-phase HIGH→HIGHEST scheme was tried and rejected:
+        # at this shape the [8192,33]@[33,33] matmul costs ~2.3µs at
+        # HIGHEST vs ~1.7µs at HIGH — the precision passes are a small
+        # slice of the ~25µs/iteration budget, so the scheme saves nothing
+        # while complicating the acceptance logic.  See docs/performance.md.)
         yv_re, yv_im = cmatvec(Y0re, Y0im, v_re, v_im, precision=jax.lax.Precision.HIGHEST)
         yv_re = yv_re.at[t].add(dtf_re)
         yv_im = yv_im.at[t].add(dtf_im)
@@ -321,30 +331,59 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     stall_limit = 3
 
     def cond(carry):
-        x, F, diff, best, it, stall = carry
+        x, F, diff, best, it, stall, g_prev, f_prev = carry
         active = jnp.logical_and(diff > xtol, it < lim_iter)
         return jnp.logical_and(active, stall < stall_limit)
 
     def body(carry):
-        x, F, diff, best, it, stall = carry
-        x = x - invJ0 @ F + G @ (K @ (H @ F))
+        x, F, diff, best, it, stall, g_prev, f_prev = carry
+        # Chord direction f and map value g = x + f.
+        f = -(invJ0 @ F) + G @ (K @ (H @ F))
+        g = x + f
+        # Anderson(1) acceleration: extrapolate along the last two
+        # chord-map evaluations.  For the linear error model e ← M·e of
+        # a chord iteration this is the secant/ORTHOMIN step — it cuts
+        # the iteration count ~25-30%, and helps MOST on the slow lanes
+        # (contraction rate near 1) that dominate the batched
+        # while_loop's wall clock (every lane runs until the worst lane
+        # converges).  The stopping rule is untouched: acceleration
+        # only shapes the path, the fixed point F(x)=0 and its
+        # true-residual test are identical.
+        df = f - f_prev
+        denom = jnp.vdot(df, df)
+        gamma = jnp.where(denom > 1e-30, jnp.vdot(f, df) / denom, 0.0)
+        # First iteration has no history; clamp extrapolation for
+        # safety (runaway γ near a stagnating pair).  CRITICAL: disable
+        # the acceleration once the residual is within ~100x of xtol —
+        # AA's non-monotone path can otherwise stall a rare lane JUST
+        # above the 10·xtol plateau-acceptance bound (measured: ~1 lane
+        # in 8192), and a single unaccepted lane drags the whole
+        # vmapped batch through the exact-NR fallback body every step
+        # (~4x slowdown at B=8192).  Below the gate, plain chord
+        # contracts monotonically (~0.25/iter) into the plateau rule
+        # exactly as before.
+        use_aa = jnp.logical_and(it > 0, diff > 100.0 * xtol)
+        gamma = jnp.where(use_aa, jnp.clip(gamma, -5.0, 5.0), 0.0)
+        x = g - gamma * (g - g_prev)
         F = mismatch(x)
         new_diff = jnp.max(jnp.abs(F))
         # Chord convergence is linear (typical rate ~0.25/iter here).
         # "Stalled" = 3 consecutive iterations without beating the best
-        # residual so far by ≥20% — at the f32 rounding floor the residual
-        # bounces around its plateau, so comparing against best-so-far
-        # (not the previous iterate) is what terminates reliably.
-        # (Doubling updates per loop trip was tried and is ~17% SLOWER at
-        # B=8192: the batch-wide matmuls dominate, loop overhead doesn't.)
+        # residual so far by ≥20% — at the f32 rounding floor the
+        # residual bounces around its plateau, so comparing against
+        # best-so-far (not the previous iterate) is what terminates
+        # reliably.  (Doubling updates per loop trip was tried and is
+        # ~17% SLOWER at B=8192: the batch-wide matmuls dominate, loop
+        # overhead doesn't.)
         improving = new_diff < best * 0.8
         stall = jnp.where(improving, 0, stall + 1)
         best = jnp.minimum(best, new_diff)
-        return x, F, new_diff, best, it + 1, stall
+        return x, F, new_diff, best, it + 1, stall, g, f
 
-    x, F, diff, _, n_iter, stall = jax.lax.while_loop(
+    x, F, diff, _, n_iter, stall, _, _ = jax.lax.while_loop(
         cond, body,
-        (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+        (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+         x0, jnp.zeros_like(F0)),
     )
     # Sanitize the exit for the NR fallback.  Two failure shapes:
     # (a) the iteration overflowed to inf/NaN — `diff > xtol` is then False
@@ -440,7 +479,7 @@ def nr_solve_lazy(ybus_fn, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult
         ok = jnp.logical_or(ok, jnp.logical_and(stall >= stall_limit, diff <= stall_tol))
     stable = jnp.logical_and(converged, ok)
     return NRResult(v_re=v_re, v_im=v_im, n_iter=n_iter, diff=diff,
-                    converged=converged, stable=stable)
+                    converged=converged, stable=stable, F=F)
 
 
 @partial(jax.jit, static_argnames=("xtol", "lim_iter"))
@@ -533,4 +572,5 @@ def nr_solve(Yre, Yim, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:
     if f32_mode:
         ok = jnp.logical_or(ok, jnp.logical_and(stall >= stall_limit, diff <= stall_tol))
     stable = jnp.logical_and(converged, ok)
-    return NRResult(v_re=v_re, v_im=v_im, n_iter=n_iter, diff=diff, converged=converged, stable=stable)
+    return NRResult(v_re=v_re, v_im=v_im, n_iter=n_iter, diff=diff,
+                    converged=converged, stable=stable, F=F)

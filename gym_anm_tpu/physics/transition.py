@@ -458,17 +458,33 @@ def transition(
         nr = nr_solve_lazy(ybus_now, p_ns, q_ns, xtol=1e-5, lim_iter=100, init=init)
 
         t_bus = tb.chord.t_bus
-        i_re, i_im = cmatvec(
-            jnp.asarray(tb.chord.Y0re, dt), jnp.asarray(tb.chord.Y0im, dt),
-            nr.v_re, nr.v_im, precision=jax.lax.Precision.HIGHEST,
-        )
-        # (ΔY·V)_f = δff·V_f + δft·V_t with V_f = slack = 1+0j;
-        # (ΔY·V)_t = δtf·V_f = δtf.
+        n_ns = tb.n_bus - 1
+        # Bus currents WITHOUT re-evaluating Y·V (4 HIGHEST-precision
+        # matvecs saved per step): the solver's final mismatch F gives the
+        # exact non-slack bus powers S = (p + F_re) + j(q + F_im) at the
+        # returned voltages, and S = V·conj(I) ⇒ I = conj(S/V) — an
+        # elementwise identity.  Diverged lanes (V → 0/NaN) produce
+        # inf/NaN exactly like the matvec form; they are terminal anyway.
+        S_re = p_ns + nr.F[:n_ns]
+        S_im = q_ns + nr.F[n_ns:]
+        v_ns_re, v_ns_im = nr.v_re[1:], nr.v_im[1:]
+        vmag2 = v_ns_re * v_ns_re + v_ns_im * v_ns_im
+        i_ns_re = (S_re * v_ns_re + S_im * v_ns_im) / vmag2
+        i_ns_im = -(S_im * v_ns_re - S_re * v_ns_im) / vmag2
+        # Slack row: one pair of row-0 dot products + the ΔY row-0 terms
+        # (ΔY·V)_f = δff·V_f + δft·V_t with V_f = slack = 1+0j.
+        y0r = jnp.asarray(tb.chord.Y0re[0], dt)
+        y0i = jnp.asarray(tb.chord.Y0im[0], dt)
+        hp = jax.lax.Precision.HIGHEST
+        i0_re = (jnp.dot(y0r, nr.v_re, precision=hp)
+                 - jnp.dot(y0i, nr.v_im, precision=hp))
+        i0_im = (jnp.dot(y0i, nr.v_re, precision=hp)
+                 + jnp.dot(y0r, nr.v_im, precision=hp))
         vt_re, vt_im = nr.v_re[t_bus], nr.v_im[t_bus]
-        i_re = i_re.at[0].add(dff_re + dft_re * vt_re - dft_im * vt_im)
-        i_im = i_im.at[0].add(dff_im + dft_re * vt_im + dft_im * vt_re)
-        i_re = i_re.at[t_bus].add(dtf_re)
-        i_im = i_im.at[t_bus].add(dtf_im)
+        i0_re = i0_re + dff_re + dft_re * vt_re - dft_im * vt_im
+        i0_im = i0_im + dff_im + dft_re * vt_im + dft_im * vt_re
+        i_re = jnp.concatenate([i0_re[None], i_ns_re])
+        i_im = jnp.concatenate([i0_im[None], i_ns_im])
     else:
         # f64 parity tier (and non-qualifying topologies): the reference's
         # exact loop over the materialized Y-bus.
