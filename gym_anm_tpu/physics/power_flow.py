@@ -333,7 +333,15 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     def cond(carry):
         x, F, diff, best, it, stall, g_prev, f_prev = carry
         active = jnp.logical_and(diff > xtol, it < lim_iter)
-        return jnp.logical_and(active, stall < stall_limit)
+        # Lanes already inside the plateau-acceptance band (≤ 10·xtol) exit
+        # after TWO non-improving iterations instead of three: they are
+        # accepted either way, and they are disproportionately the batch's
+        # slowest lanes — under vmap every lane runs until the last one
+        # stops, so one saved floor-bouncing iteration is saved for the
+        # whole batch.  Lanes above the band keep the full stall budget
+        # (their exit would be UNaccepted and trigger the NR fallback).
+        limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 1, stall_limit)
+        return jnp.logical_and(active, stall < limit)
 
     def body(carry):
         x, F, diff, best, it, stall, g_prev, f_prev = carry
@@ -408,7 +416,10 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     # actually plateaued (stall-limit exit).  A lane that hits lim_iter
     # while still improving is NOT accepted — it proceeds to the exact-NR
     # polish, matching nr_solve's f32 rule.
-    plateaued = jnp.logical_and(finite, stall >= stall_limit)
+    # Mirror cond's region-dependent stall budget: inside the acceptance
+    # band a stall of (stall_limit − 1) is a completed plateau exit.
+    eff_limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 1, stall_limit)
+    plateaued = jnp.logical_and(finite, stall >= eff_limit)
     accepted = jnp.logical_or(
         jnp.logical_and(finite, diff <= xtol),
         jnp.logical_and(plateaued, diff <= stall_tol_factor * xtol),

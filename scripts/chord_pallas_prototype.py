@@ -1,0 +1,351 @@
+"""Fully fused chord-Newton solve as ONE Pallas kernel — NEGATIVE RESULT.
+
+Kept as evidence (see docs/performance.md "Negative results").  Round 1
+recorded the fused kernel as blocked by the package's global x64 flag;
+this prototype runs in a NO-x64 process (loads the IEEE33 constants by
+file path, so the package __init__ never executes) and shows the path is
+NOT worth taking even unblocked:
+
+* correctness: max |x − x_ref| = 3.6e-6 vs the XLA chord solver, 100%
+  acceptance, same iteration counts — the kernel is right;
+* performance: ~2.6 ms/solve at B=8192 (TILE=256..1024) vs ~1.4 ms for
+  the XLA while_loop on the same flat-start workload.  Mosaic's
+  HIGHEST-precision [tile,66]@[66,66] matmul costs ~21 µs per tile-
+  iteration (vs ~2.3 µs for XLA's [8192,66] form — ~7x less efficient
+  per FLOP), and the 16 MB VMEM scoped limit caps the tile at 1024
+  lanes (TILE=2048 OOMs), so the grid serializes 8+ tiles × tile-max
+  iterations.  Launch-overhead savings cannot recover that.
+
+Usage:  TILE=1024 python scripts/chord_pallas_prototype.py
+(must run in a process that has NOT imported gym_anm_tpu).
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+assert not jax.config.jax_enable_x64
+
+# ---------------------------------------------------------------------------
+# Rebuild the IEEE33 chord constants with numpy only (no package import).
+import importlib.util
+_spec = importlib.util.spec_from_file_location(
+    "ieee33_standalone", "/root/repo/gym_anm_tpu/networks/ieee33.py")
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)   # numpy-only module; avoids the package
+network = _mod.network           # __init__ (which force-enables x64)
+
+# Parse minimal spec pieces we need (mirror specs/network.py essentials).
+bus = np.asarray(network["bus"], float)
+branch = np.asarray(network["branch"], float)
+baseMVA = float(network["baseMVA"])
+N = bus.shape[0]
+f = branch[:, 0].astype(int)
+t = branch[:, 1].astype(int)
+r, x_, b = branch[:, 2], branch[:, 3], branch[:, 4]
+tap0 = np.where(branch[:, 6] == 0, 1.0, branch[:, 6])
+shift = np.deg2rad(branch[:, 7])
+series = 1.0 / (r + 1j * x_)
+
+
+def build_Y(tapm):
+    Y = np.zeros((N, N), complex)
+    tap = tapm * np.exp(1j * shift)
+    sh = 1j * b / 2.0
+    for k in range(len(f)):
+        Y[f[k], t[k]] += -series[k] / np.conj(tap[k])
+        Y[t[k], f[k]] += -series[k] / tap[k]
+        Y[f[k], f[k]] += (series[k] + sh[k]) / abs(tap[k]) ** 2
+        Y[t[k], t[k]] += series[k] + sh[k]
+    return Y
+
+
+Y0 = build_Y(tap0)
+n = N - 1
+
+
+def flat_jacobian(Y):
+    V = np.ones(N, complex)
+    YV = Y @ V
+    dSdA = 1j * np.diag(V) @ np.conj(np.diag(YV) - Y @ np.diag(V))
+    dSdM = np.diag(V / np.abs(V)) @ np.conj(np.diag(YV)) + np.diag(V) @ np.conj(Y @ np.diag(V / np.abs(V)))
+    J = np.block([[dSdA[1:, 1:].real, dSdM[1:, 1:].real],
+                  [dSdA[1:, 1:].imag, dSdM[1:, 1:].imag]])
+    return J
+
+
+invJ0 = np.linalg.inv(flat_jacobian(Y0))
+oltc_branch = 0
+T_BUS = t[oltc_branch]
+rows = [T_BUS - 1, n + T_BUS - 1]
+G = invJ0[:, rows].astype(np.float32)
+H = invJ0[rows, :].astype(np.float32)
+C = invJ0[np.ix_(rows, rows)].astype(np.float32)
+invJ0 = invJ0.astype(np.float32)
+Y0re = Y0.real.astype(np.float32)
+Y0im = Y0.imag.astype(np.float32)
+y_br = series[oltc_branch]
+
+XTOL = 1e-5
+LIM = 48
+STALL_TOL = 10.0 * XTOL
+
+
+# ---------------------------------------------------------------------------
+# Reference: chord_solve (jnp, single lane; mirrors the repo algorithm).
+def chord_ref(p, q, dtf_re, dtf_im, w_a, w_b, x0):
+    dtype = jnp.float32
+    Y0re_j = jnp.asarray(Y0re)
+    Y0im_j = jnp.asarray(Y0im)
+    invJ0_j = jnp.asarray(invJ0)
+    G_j, H_j, C_j = jnp.asarray(G), jnp.asarray(H), jnp.asarray(C)
+    W = jnp.array([[w_a, w_b], [w_b, -w_a]], dtype)
+    M = jnp.eye(2, dtype=dtype) + C_j @ W
+    det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    Minv = jnp.array([[M[1, 1], -M[0, 1]], [-M[1, 0], M[0, 0]]], dtype) / det
+    K = W @ Minv
+
+    def mismatch(x):
+        theta, vm = x[:n], x[n:]
+        v_re = jnp.concatenate([jnp.ones(1, dtype), vm * jnp.cos(theta)])
+        v_im = jnp.concatenate([jnp.zeros(1, dtype), vm * jnp.sin(theta)])
+        hp = jax.lax.Precision.HIGHEST
+        yv_re = jnp.matmul(Y0re_j, v_re, precision=hp) - jnp.matmul(Y0im_j, v_im, precision=hp)
+        yv_im = jnp.matmul(Y0re_j, v_im, precision=hp) + jnp.matmul(Y0im_j, v_re, precision=hp)
+        yv_re = yv_re.at[T_BUS].add(dtf_re)
+        yv_im = yv_im.at[T_BUS].add(dtf_im)
+        s_re = v_re * yv_re + v_im * yv_im
+        s_im = v_im * yv_re - v_re * yv_im
+        return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
+
+    F0 = mismatch(x0)
+    diff0 = jnp.max(jnp.abs(F0))
+
+    def cond(c):
+        x, F, diff, best, it, stall, gp, fp = c
+        active = jnp.logical_and(diff > XTOL, it < LIM)
+        limit = jnp.where(diff <= STALL_TOL, 2, 3)
+        return jnp.logical_and(active, stall < limit)
+
+    def body(c):
+        x, F, diff, best, it, stall, gp, fp = c
+        fdir = -(invJ0_j @ F) + G_j @ (K @ (H_j @ F))
+        g = x + fdir
+        df = fdir - fp
+        denom = jnp.vdot(df, df)
+        gamma = jnp.where(denom > 1e-30, jnp.vdot(fdir, df) / denom, 0.0)
+        use_aa = jnp.logical_and(it > 0, diff > 100.0 * XTOL)
+        gamma = jnp.where(use_aa, jnp.clip(gamma, -5.0, 5.0), 0.0)
+        x = g - gamma * (g - gp)
+        F = mismatch(x)
+        nd = jnp.max(jnp.abs(F))
+        improving = nd < best * 0.8
+        stall = jnp.where(improving, 0, stall + 1)
+        best = jnp.minimum(best, nd)
+        return x, F, nd, best, it + 1, stall, g, fdir
+
+    x, F, diff, _, it, stall, _, _ = jax.lax.while_loop(
+        cond, body, (x0, F0, diff0, diff0, jnp.int32(0), jnp.int32(0),
+                     x0, jnp.zeros_like(F0)))
+    return x, F, diff, it
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel: a whole TILE of lanes per program instance.
+import os
+TILE = int(os.environ.get('TILE', 256))
+HP = jax.lax.Precision.HIGHEST
+
+# Packed mismatch operand: vc [TILE, 2N] -> yv [TILE, 2N]
+Ypack = np.block([[Y0re.T, Y0im.T], [-Y0im.T, Y0re.T]]).astype(np.float32)
+# Update operand: F [TILE, 2n] -> [invJ0·F | H·F]  [TILE, 2n+2]
+Apack = np.concatenate([invJ0.T, H.T], axis=1).astype(np.float32)
+
+
+def kernel(x_ref, pq_ref, sc_ref, Yp_ref, Ap_ref, G_ref,
+           xo_ref, Fo_ref, do_ref, io_ref):
+    xv = x_ref[...]                     # [TILE, 2n]
+    pq = pq_ref[...]                    # [TILE, 2n]
+    sc = sc_ref[...]                    # [TILE, 8]: dtf_re, dtf_im, k00,k01,k10,k11, 0,0
+    Yp = Yp_ref[...]                    # [2N, 2N]
+    Ap = Ap_ref[...]                    # [2n, 2n+2]
+    Gm = G_ref[...]                     # [2n, 2]
+
+    dtf_re = sc[:, 0:1]
+    dtf_im = sc[:, 1:2]
+    k00, k01, k10, k11 = sc[:, 2:3], sc[:, 3:4], sc[:, 4:5], sc[:, 5:6]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * N), 1)
+    is_t = (col == T_BUS).astype(jnp.float32)
+    is_t2 = (col == (N + T_BUS)).astype(jnp.float32)
+    # column masks for extracting / writing the slack-free layout
+    # v layout: [v_re (N) | v_im (N)]; F layout: [re rows 1..N-1 | im rows]
+
+    def mismatch(x):
+        theta = x[:, :n]
+        vm = x[:, n:]
+        cos_t = jnp.cos(theta) * vm
+        sin_t = jnp.sin(theta) * vm
+        one = jnp.ones((x.shape[0], 1), jnp.float32)
+        zero = jnp.zeros((x.shape[0], 1), jnp.float32)
+        vc = jnp.concatenate([one, cos_t, zero, sin_t], axis=1)   # [TILE, 2N]
+        yv = jax.lax.dot_general(vc, Yp, (((1,), (0,)), ((), ())), precision=HP)
+        yv = yv + is_t * dtf_re + is_t2 * dtf_im
+        v_re = vc[:, :N]
+        v_im = vc[:, N:]
+        yv_re = yv[:, :N]
+        yv_im = yv[:, N:]
+        s_re = v_re * yv_re + v_im * yv_im
+        s_im = v_im * yv_re - v_re * yv_im
+        return jnp.concatenate([s_re[:, 1:], s_im[:, 1:]], axis=1) - pq
+
+    F0 = mismatch(xv)
+    diff0 = jnp.max(jnp.abs(F0), axis=1, keepdims=True)   # [TILE,1]
+
+    def cond(c):
+        x, F, diff, best, it, stall, gp, fp = c
+        active = jnp.logical_and(diff > XTOL, it < LIM)
+        limit = jnp.where(diff <= STALL_TOL, 2, 3)
+        active = jnp.logical_and(active, stall < limit)
+        return jnp.any(active)
+
+    def body(c):
+        x, F, diff, best, it, stall, gp, fp = c
+        active = jnp.logical_and(diff > XTOL, it < LIM)
+        limit = jnp.where(diff <= STALL_TOL, 2, 3)
+        active = jnp.logical_and(active, stall < limit)   # [TILE,1]
+
+        u = jax.lax.dot_general(F, Ap, (((1,), (0,)), ((), ())))  # [TILE, 2n+2]
+        invF = u[:, : 2 * n]
+        h0 = u[:, 2 * n : 2 * n + 1]
+        h1 = u[:, 2 * n + 1 :]
+        kh0 = k00 * h0 + k01 * h1
+        kh1 = k10 * h0 + k11 * h1
+        wood = jax.lax.dot_general(
+            jnp.concatenate([kh0, kh1], axis=1), Gm,
+            (((1,), (1,)), ((), ())))                     # [TILE, 2n] = (KhF)Gᵀ
+        fdir = -invF + wood
+        g = x + fdir
+        df = fdir - fp
+        denom = jnp.sum(df * df, axis=1, keepdims=True)
+        num = jnp.sum(fdir * df, axis=1, keepdims=True)
+        gamma = jnp.where(denom > 1e-30, num / denom, 0.0)
+        use_aa = jnp.logical_and(it > 0, diff > 100.0 * XTOL)
+        gamma = jnp.where(use_aa, jnp.clip(gamma, -5.0, 5.0), 0.0)
+        x_new = g - gamma * (g - gp)
+        F_new = mismatch(x_new)
+        nd = jnp.max(jnp.abs(F_new), axis=1, keepdims=True)
+        improving = nd < best * 0.8
+        stall_new = jnp.where(improving, 0, stall + 1)
+        best_new = jnp.minimum(best, nd)
+
+        # masked per-lane commits
+        x = jnp.where(active, x_new, x)
+        F = jnp.where(active, F_new, F)
+        diff = jnp.where(active, nd, diff)
+        best = jnp.where(active, best_new, best)
+        stall = jnp.where(active, stall_new, stall)
+        it = jnp.where(active, it + 1, it)
+        gp = jnp.where(active, g, gp)
+        fp = jnp.where(active, fdir, fp)
+        return x, F, diff, best, it, stall, gp, fp
+
+    zero_i = jnp.zeros((xv.shape[0], 1), jnp.int32)
+    x, F, diff, best, it, stall, gp, fp = jax.lax.while_loop(
+        cond, body,
+        (xv, F0, diff0, diff0, zero_i, zero_i, xv, jnp.zeros_like(F0)))
+
+    xo_ref[...] = x
+    Fo_ref[...] = F
+    do_ref[...] = diff
+    io_ref[...] = it
+
+
+def chord_pallas(x0, pq, scalars, B):
+    grid = (B // TILE,)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2 * n), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2 * n), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 2 * n), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 2 * n), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0)),
+            pl.BlockSpec((2 * N, 2 * N), lambda i: (0, 0)),
+            pl.BlockSpec((2 * n, 2 * n + 2), lambda i: (0, 0)),
+            pl.BlockSpec((2 * n, 2), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, 2 * n), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 2 * n), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0)),
+        ),
+    )(x0, pq, scalars, jnp.asarray(Ypack), jnp.asarray(Apack), jnp.asarray(G))
+
+
+# ---------------------------------------------------------------------------
+if __name__ == "__main__":
+    B = 8192
+    key = jax.random.PRNGKey(0)
+    qc = jax.random.uniform(key, (B, 2), jnp.float32)
+    taps = jax.random.uniform(jax.random.fold_in(key, 1), (B,), jnp.float32, 0.9, 1.1)
+    q_ns = jnp.zeros((B, n), jnp.float32).at[:, 7].set(qc[:, 0]).at[:, 24].set(qc[:, 1])
+    p_ns = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.concatenate(
+        [jnp.zeros((B, n), jnp.float32), jnp.ones((B, n), jnp.float32)], axis=1)
+
+    inv_da = 1.0 / taps - 1.0 / tap0[oltc_branch]
+    dtf_re = (-y_br.real * inv_da).astype(jnp.float32)
+    dtf_im = (-y_br.imag * inv_da).astype(jnp.float32)
+    w_a, w_b = dtf_im, dtf_re
+
+    # per-lane K
+    def make_k(wa, wb):
+        W = jnp.array([[wa, wb], [wb, -wa]], jnp.float32)
+        M = jnp.eye(2, dtype=jnp.float32) + jnp.asarray(C) @ W
+        det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+        Minv = jnp.array([[M[1, 1], -M[0, 1]], [-M[1, 0], M[0, 0]]], jnp.float32) / det
+        return (W @ Minv).reshape(-1)
+
+    Ks = jax.vmap(make_k)(w_a, w_b)   # [B,4]
+    scalars = jnp.concatenate(
+        [dtf_re[:, None], dtf_im[:, None], Ks, jnp.zeros((B, 2), jnp.float32)], axis=1)
+
+    pq = jnp.concatenate([p_ns, q_ns], axis=1)
+
+    kernel_jit = jax.jit(lambda a, b, c: chord_pallas(a, b, c, B))
+    ref_jit = jax.jit(jax.vmap(
+        lambda p, q, dr, di, wa, wb, x0: chord_ref(p, q, dr, di, wa, wb, x0)))
+    t0 = time.perf_counter()
+    x, F, diff, it = kernel_jit(x0, pq, scalars)
+    jax.block_until_ready(x)
+    print(f"kernel compile+run {time.perf_counter()-t0:.1f}s", flush=True)
+
+    # correctness vs the jnp reference
+    xr, Fr, diffr, itr = ref_jit(p_ns, q_ns, dtf_re, dtf_im, w_a, w_b, x0)
+    jax.block_until_ready(xr)
+    dd = np.abs(np.asarray(x) - np.asarray(xr)).max()
+    print("max |x_kernel - x_ref|:", dd)
+    print("diff kernel max:", float(jnp.max(diff)), " ref max:", float(jnp.max(diffr)))
+    print("accept kernel:", float(jnp.mean((diff[:, 0] <= 1e-4).astype(jnp.float32))),
+          "it mean", float(it.mean()), "max", int(it.max()))
+
+    # timing: 20 reps
+    for tag, fn in [("kernel", lambda: kernel_jit(x0, pq, scalars)),
+                    ("XLA ref", lambda: ref_jit(p_ns, q_ns, dtf_re, dtf_im, w_a, w_b, x0))]:
+        out = fn(); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out = fn()
+        jax.block_until_ready(out)
+        el = (time.perf_counter() - t0) / 30
+        print(f"{tag}: {el*1e3:.3f} ms per solve of B={B}")
