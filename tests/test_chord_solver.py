@@ -161,6 +161,41 @@ def test_warm_start_guess_independent(env64):
     assert bool(jnp.isfinite(obs).all())
 
 
+def test_chord_acceptance_rate_is_total():
+    """Under the bench-like action distribution (random caps in [0,1] p.u.,
+    random taps in [0.9,1.1], B=8192), EVERY lane's chord exit must be
+    accepted.  This guards the solver's worst performance cliff: under
+    vmap, a single unaccepted lane drags the whole batch through the
+    exact-NR fallback body every step (~4x throughput loss measured) —
+    exactly what an unsafeguarded acceleration tweak caused once."""
+    env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    tb = env32.tables
+    n = tb.n_bus - 1
+    B = 8192
+
+    def lane(p, q, a):
+        inv_da = 1.0 / a - 1.0 / tb.chord_a0
+        dtf_re = -(tb.chord_y_re) * inv_da
+        dtf_im = -(tb.chord_y_im) * inv_da
+        return chord_solve(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+
+    solve = jax.jit(jax.vmap(lane))
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        qc = jax.random.uniform(key, (B, 2), jnp.float32)
+        taps = jax.random.uniform(jax.random.fold_in(key, 1), (B,), jnp.float32, 0.9, 1.1)
+        q_ns = jnp.zeros((B, n), jnp.float32).at[:, 7].set(qc[:, 0]).at[:, 24].set(qc[:, 1])
+        p_ns = jnp.zeros((B, n), jnp.float32)
+        x, F, diff, it, acc = solve(p_ns, q_ns, taps)
+        n_unaccepted = int(jnp.sum(~acc))
+        assert n_unaccepted == 0, (
+            f"seed {seed}: {n_unaccepted}/{B} lanes unaccepted "
+            f"(worst diff {float(jnp.max(jnp.where(acc, 0.0, diff))):.2e}) — "
+            "each one forces the batch-wide NR fallback"
+        )
+        assert float(jnp.max(diff)) <= 1e-4
+
+
 def test_chord_divergence_recovers_via_fallback(env64):
     """A chord phase that overflows to non-finite values, or wanders to an
     iterate worse than the flat start, must NOT block the exact-NR fallback
