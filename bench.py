@@ -56,14 +56,17 @@ def bench_random(env, batch, n_steps, n_reps, autoreset):
     lo, hi = env.action_low, env.action_high
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     state, obs = jax.jit(jax.vmap(env.reset))(keys)
-    step = env.step_autoreset if autoreset else env.step
+    # Batch-level autoreset: the reset program is skipped at runtime on
+    # steps where no lane terminated (env.step_autoreset_batch).
+    step = env.step_autoreset_batch if autoreset else (
+        lambda st, a: jax.vmap(env.step)(st, a))
 
     def run(state, obs, seed):
         def body(carry, t):
             st, obs = carry
             k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
             acts = lo + jax.random.uniform(k, (batch, env.n_action), dtype=env.dtype) * (hi - lo)
-            st, obs, r, d, _ = jax.vmap(step)(st, acts)
+            st, obs, r, d, _ = step(st, acts)
             return (st, obs), r.sum()
 
         (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))

@@ -37,14 +37,15 @@ def generate_dataset_vec(env: VecEnv, controller: Optional[Controller], key,
     def run(env_keys, k_ctrl):
         state, obs = jax.vmap(env.reset)(env_keys)
         carry0 = jax.vmap(controller.init_carry)(jax.random.split(k_ctrl, batch))
-        step = env.step_autoreset if autoreset else env.step
+        step = env.step_autoreset_batch if autoreset else (
+            lambda st, a: jax.vmap(env.step)(st, a))
 
         def body(sc, t):
             state, obs, carry = sc
             k = jax.vmap(lambda s: jax.random.fold_in(s.key, 7))(state)
             action, carry = jax.vmap(controller.act)(k, state, obs, carry)
             action = jnp.clip(action, env.action_low, env.action_high)
-            state2, obs2, r, d, _ = jax.vmap(step)(state, action)
+            state2, obs2, r, d, _ = step(state, action)
             return (state2, obs2, carry), (obs, action, r, obs2, d)
 
         (state, obs, carry), traj = jax.lax.scan(
@@ -90,7 +91,7 @@ def make_mixed_collector(env: VecEnv, controllers: Sequence[Controller],
                 actions, assignment[None, :, None], axis=0
             )[0]
             action = jnp.clip(action, env.action_low, env.action_high)
-            state2, obs2, r, d, _ = jax.vmap(env.step_autoreset)(state, action)
+            state2, obs2, r, d, _ = env.step_autoreset_batch(state, action)
             return (state2, obs2, new_carries), (obs, action, r, obs2, d)
 
         (state, obs, carries), traj = jax.lax.scan(

@@ -153,27 +153,29 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
     mb_len = cfg.rollout_len // cfg.n_minibatches
 
     def rollout(params, state, obs):
+        """Batch-level rollout scan: the autoreset's reset program only
+        runs on steps where some lane terminated
+        (vec.core.step_autoreset_batch); trajectories are identical to a
+        per-lane vmapped scan (same per-lane key chains)."""
+
         def body(carry, t):
             st, obs = carry
-            k_act, key = jax.random.split(st.key)
-            action = sample_action(params, k_act, obs, act_low, act_high)
+            keys = jax.vmap(jax.random.split)(st.key)
+            k_act, key = keys[:, 0], keys[:, 1]
+            action = jax.vmap(
+                lambda k, o: sample_action(params, k, o, act_low, act_high)
+            )(k_act, obs)
             st = st._replace(key=key)
-            st, obs2, r, d, _ = env.step_autoreset(st, action)
+            st, obs2, r, d, _ = env.step_autoreset_batch(st, action)
             return (st, obs2), (obs, action, r.astype(jnp.float32), d.astype(jnp.float32))
 
         (st, obs), traj = jax.lax.scan(body, (state, obs), jnp.arange(cfg.rollout_len))
         return st, obs, traj
 
     def train_step(ts: TrainState, state, obs):
-        # 1. On-device rollout (vmapped over the sharded lane axis).
-        state2, obs2, traj = jax.vmap(
-            lambda s, o: rollout(ts.params, s, o), in_axes=0, out_axes=0
-        )(state, obs)
-        obs_t, act_t, rew_t, done_t = traj  # [B, T, ...]
-        obs_T = jnp.swapaxes(obs_t, 0, 1)   # [T, B, obs]
-        act_T = jnp.swapaxes(act_t, 0, 1)
-        rew_T = jnp.swapaxes(rew_t, 0, 1)
-        done_T = jnp.swapaxes(done_t, 0, 1)
+        # 1. On-device rollout (the lane axis shards; the scan is batch-level).
+        state2, obs2, traj = rollout(ts.params, state, obs)
+        obs_T, act_T, rew_T, done_T = traj  # already [T, B, ...]
 
         raw_mean_reward = rew_T.mean()
         rew_T = rew_T * cfg.reward_scale

@@ -306,7 +306,9 @@ class VecEnv:
         """Step; a terminated lane is reset in place (for infinite farms).
 
         Single-lane function like :meth:`step` — ``done`` is a scalar and
-        broadcasting selects whole reset leaves.  vmap over lanes.
+        broadcasting selects whole reset leaves.  vmap over lanes.  For
+        batched callers prefer :meth:`step_autoreset_batch`, which skips
+        the reset program entirely on steps where no lane terminated.
         """
         new_state, obs, reward, done, info = self.step(state, action)
         k_reset, key = jax.random.split(new_state.key)
@@ -317,6 +319,45 @@ class VecEnv:
             new_state._replace(key=key),
         )
         obs = jnp.where(done, reset_obs, obs)
+        return merged, obs, reward, done, info
+
+    def step_autoreset_batch(self, states: EnvState, actions):
+        """Batched autoreset step: semantically identical to
+        ``vmap(step_autoreset)``, but the reset program runs under a
+        batch-level ``lax.cond`` on ``done.any()`` — on the (typical)
+        steps where NO lane terminated, the reset's full extra transition
+        is skipped at runtime instead of being computed and discarded per
+        lane.  Divergences are rare, so this nearly halves the autoreset
+        step cost.
+
+        RNG streams match ``vmap(step_autoreset)`` exactly: the per-lane
+        key split happens unconditionally, and a skipped reset only ever
+        discards draws that the per-lane version would also have
+        discarded (non-done lanes never keep reset results).
+        """
+        new_states, obs, reward, done, info = jax.vmap(self.step)(states, actions)
+        keys = jax.vmap(jax.random.split)(new_states.key)
+        k_reset, key = keys[:, 0], keys[:, 1]
+        new_states = new_states._replace(key=key)
+
+        def do_resets(operand):
+            new_states, obs, k_reset = operand
+            reset_states, reset_obs = jax.vmap(self.reset)(k_reset, new_states.oltc_tap)
+
+            def sel(r, n):
+                d = done.reshape(done.shape + (1,) * (n.ndim - done.ndim))
+                return jnp.where(d, r, n)
+
+            merged = jax.tree_util.tree_map(sel, reset_states, new_states)
+            return merged, jnp.where(done[:, None], reset_obs, obs)
+
+        def no_resets(operand):
+            new_states, obs, _ = operand
+            return new_states, obs
+
+        merged, obs = jax.lax.cond(
+            jnp.any(done), do_resets, no_resets, (new_states, obs, k_reset)
+        )
         return merged, obs, reward, done, info
 
     # ------------------------------------------------------------------

@@ -104,3 +104,41 @@ def test_autoreset_resumes():
     state, traj = env.rollout(state, policy, 50, autoreset=True)
     obs_t, act_t, rew_t, done_t = traj
     assert np.isfinite(np.asarray(rew_t)).all()
+
+
+def test_step_autoreset_batch_matches_per_lane():
+    """step_autoreset_batch must be numerically identical to
+    vmap(step_autoreset) — including on batches where SOME lanes are
+    terminated (reset branch taken) and batches where none are (reset
+    branch skipped at runtime)."""
+    from gym_anm_tpu.vec import make_ieee33_task
+
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    acts = env.action_low + jax.random.uniform(
+        jax.random.PRNGKey(5), (B, env.n_action), jnp.float32
+    ) * (env.action_high - env.action_low)
+
+    per_lane = jax.jit(jax.vmap(env.step_autoreset))
+    batched = jax.jit(env.step_autoreset_batch)
+
+    def compare(st):
+        s1, o1, r1, d1, _ = per_lane(st, acts)
+        s2, o2, r2, d2, _ = batched(st, acts)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        return s2, d2
+
+    # No-done batch: reset branch skipped at runtime in the batched path.
+    s_after, d = compare(state)
+    assert not bool(np.asarray(d).any())
+
+    # Mixed batch: force some lanes terminated, so the reset branch runs
+    # and lane selection (reset vs stepped) must match per-lane exactly.
+    term = jnp.zeros(B, bool).at[jnp.array([1, 5, 11])].set(True)
+    compare(s_after._replace(terminated=term))
