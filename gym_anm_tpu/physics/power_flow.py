@@ -184,6 +184,60 @@ def _nr_linear_solve_vmap(axis_size, in_batched, J, F):
     return _batched_solve(J, F), True
 
 
+def numpy_nr_solve(Y, p, q, xtol=1e-10, lim_iter=50):
+    """Host-side float64 Newton-Raphson (pure numpy; no JAX involvement,
+    so it never touches the TPU at table-build time).  Returns the polar
+    state x* = [θ₁.., |V|₁..] of the solved operating point, or the flat
+    start if the solve does not converge.  Used to pick a chord
+    linearization point for tasks whose typical loading is far from the
+    flat start."""
+    Y = np.asarray(Y, complex)
+    N = Y.shape[0]
+    n = N - 1
+    s = np.asarray(p, float) + 1j * np.asarray(q, float)
+    x = np.concatenate([np.zeros(n), np.ones(n)])
+    for _ in range(lim_iter):
+        V = np.concatenate([[1.0 + 0.0j], x[n:] * np.exp(1j * x[:n])])
+        YV = Y @ V
+        F_c = (V * np.conj(YV))[1:] - s
+        F = np.concatenate([F_c.real, F_c.imag])
+        if np.max(np.abs(F)) <= xtol:
+            return x
+        dSdA = 1j * np.diag(V) @ np.conj(np.diag(YV) - Y @ np.diag(V))
+        Vn = V / np.abs(V)
+        dSdM = np.diag(Vn) @ np.conj(np.diag(YV)) + np.diag(V) @ np.conj(Y @ np.diag(Vn))
+        J = np.block([[dSdA[1:, 1:].real, dSdM[1:, 1:].real],
+                      [dSdA[1:, 1:].imag, dSdM[1:, 1:].imag]])
+        try:
+            x = x - np.linalg.solve(J, F)
+        except np.linalg.LinAlgError:
+            break
+        if not np.all(np.isfinite(x)):
+            break
+    V = np.concatenate([[1.0 + 0.0j], x[n:] * np.exp(1j * x[:n])]) if np.all(np.isfinite(x)) else None
+    if V is not None:
+        YV = Y @ V
+        F_c = (V * np.conj(YV))[1:] - s
+        if np.max(np.abs(np.concatenate([F_c.real, F_c.imag]))) <= 1e-6:
+            return x
+    return np.concatenate([np.zeros(n), np.ones(n)])
+
+
+def _numpy_jacobian_inv(Y, x):
+    """inv(J(x)) at an arbitrary polar state, float64 numpy."""
+    Y = np.asarray(Y, complex)
+    N = Y.shape[0]
+    n = N - 1
+    V = np.concatenate([[1.0 + 0.0j], x[n:] * np.exp(1j * x[:n])])
+    YV = Y @ V
+    dSdA = 1j * np.diag(V) @ np.conj(np.diag(YV) - Y @ np.diag(V))
+    Vn = V / np.abs(V)
+    dSdM = np.diag(Vn) @ np.conj(np.diag(YV)) + np.diag(V) @ np.conj(Y @ np.diag(Vn))
+    J = np.block([[dSdA[1:, 1:].real, dSdM[1:, 1:].real],
+                  [dSdA[1:, 1:].imag, dSdM[1:, 1:].imag]])
+    return np.linalg.inv(J)
+
+
 def flat_start_inv_jacobian(Yre, Yim):
     """Precompute inv(J(x0)) at the flat start x0 = (θ=0, |V|=1) for a fixed
     admittance matrix — the constant matrix of the chord-Newton fast path.
@@ -212,14 +266,20 @@ class ChordConst(NamedTuple):
 
     Y0re: np.ndarray    # [N, N] nominal-tap admittance matrix
     Y0im: np.ndarray
-    invJ0: np.ndarray   # [2n, 2n] flat-start inverse Jacobian at nominal tap
+    invJ0: np.ndarray   # [2n, 2n] inverse Jacobian at the linearization
+    #                     point (flat start by default) and nominal tap
     G: np.ndarray       # [2n, 2] = invJ0 · U  (U = [e_{P_t}, e_{Q_t}])
     H: np.ndarray       # [2, 2n] = Eᵀ · invJ0 (E = [e_{θ_t}, e_{|V|_t}])
     C: np.ndarray       # [2, 2]  = Eᵀ · invJ0 · U
     t_bus: int          # regulated branch's to-bus (from-bus is the slack)
+    # V at the regulated bus AT THE LINEARIZATION POINT — enters the tap
+    # Woodbury's W(a) (1+0j for the flat start, reproducing the original
+    # formula exactly).
+    vstar_re: float = 1.0
+    vstar_im: float = 0.0
 
 
-def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32) -> ChordConst:
+def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32, x_star=None) -> ChordConst:
     """Build the shared constants of the tap-aware chord-Newton solver.
 
     The chord iteration is x ← x − J(x0, a)⁻¹ F(x), where J(x0, a) is the
@@ -246,7 +306,23 @@ def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32) -> ChordConst:
     where W = 0.
     """
     n = Y0re.shape[-1] - 1
-    invJ0 = flat_start_inv_jacobian(Y0re, Y0im)
+    if x_star is None:
+        invJ0 = flat_start_inv_jacobian(Y0re, Y0im)
+        vstar_re, vstar_im = 1.0, 0.0
+    else:
+        # Linearize at an arbitrary solved state x* (pure-numpy, host).
+        # The tap perturbation's rank-2 structure survives: ΔS depends
+        # only on V_t (times the PINNED slack voltage), so ΔJ stays
+        # confined to rows (P_t, Q_t) × columns (θ_t, |V_t|); only W(a)'s
+        # entries pick up V*_t (see chord_solve).
+        x_star = np.asarray(x_star, float)
+        Yc = np.asarray(Y0re, float) + 1j * np.asarray(Y0im, float)
+        invJ0 = _numpy_jacobian_inv(Yc, x_star)
+        it_t = int(t_bus) - 1
+        vm_t = x_star[n + it_t]
+        th_t = x_star[it_t]
+        vstar_re = float(vm_t * np.cos(th_t))
+        vstar_im = float(vm_t * np.sin(th_t))
     it = int(t_bus) - 1
     rows = [it, n + it]
     return ChordConst(
@@ -257,6 +333,8 @@ def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32) -> ChordConst:
         H=invJ0[rows, :].astype(dtype),
         C=invJ0[np.ix_(rows, rows)].astype(dtype),
         t_bus=int(t_bus),
+        vstar_re=vstar_re,
+        vstar_im=vstar_im,
     )
 
 
@@ -295,8 +373,21 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     n = Y0re.shape[-1] - 1
     t = const.t_bus
 
-    # K = W (I + C W)⁻¹, 2×2 per lane in closed form.
-    W = jnp.array([[w_a, w_b], [w_b, -w_a]], dtype=dtype)
+    # K = W (I + C W)⁻¹, 2×2 per lane in closed form.  W(a) at the
+    # linearization point V*: ΔS_t = V*_t·conj(δ) (slack pinned at 1+0j),
+    # so with δ = d_r + j·d_i = (w_b + j·w_a) and V*_t = va + j·vb:
+    #   dP_t/dθ_t = Re(j V* conj δ) = va·d_i − vb·d_r
+    #   dP_t/d|V_t| = Re(V̂* conj δ) = (va·d_r + vb·d_i)/|V*|
+    #   dQ_t/dθ_t = Im(j V* conj δ) = va·d_r + vb·d_i
+    #   dQ_t/d|V_t| = Im(V̂* conj δ) = (vb·d_r − va·d_i)/|V*|
+    # At the flat start (V* = 1) this is exactly [[Im δ, Re δ],
+    # [Re δ, −Im δ]], the original formula.
+    va, vb = const.vstar_re, const.vstar_im
+    vmag = float(np.hypot(va, vb))
+    d_i, d_r = w_a, w_b
+    W = jnp.array(
+        [[va * d_i - vb * d_r, (va * d_r + vb * d_i) / vmag],
+         [va * d_r + vb * d_i, (vb * d_r - va * d_i) / vmag]], dtype=dtype)
     M = jnp.eye(2, dtype=dtype) + C @ W
     det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
     Minv = jnp.array([[M[1, 1], -M[0, 1]], [-M[1, 0], M[0, 0]]], dtype=dtype) / det

@@ -114,7 +114,7 @@ class GridTables(NamedTuple):
     chord_has_oltc: bool = False
 
 
-def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTables:
+def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64, chord_x_star=None) -> GridTables:
     f = lambda a: np.asarray(a, dtype=np.dtype(dtype))
 
     series = 1.0 / (spec.br_r + 1j * spec.br_x)
@@ -183,12 +183,14 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64) -> GridTabl
     chord_has_oltc = False
     if spec.n_oltc == 0:
         # No taps move: W ≡ 0, ΔY ≡ 0; t_bus is an unused dummy.
-        chord = make_chord_const(Yre0, Yim0, t_bus=1, dtype=np.dtype(dtype))
+        chord = make_chord_const(Yre0, Yim0, t_bus=1, dtype=np.dtype(dtype),
+                                 x_star=chord_x_star)
     elif spec.n_oltc == 1:
         br = int(spec.oltc_branch[0])
         f_bus, t_bus = int(spec.br_f[br]), int(spec.br_t[br])
         if f_bus == spec.slack_pos == 0:
-            chord = make_chord_const(Yre0, Yim0, t_bus=t_bus, dtype=np.dtype(dtype))
+            chord = make_chord_const(Yre0, Yim0, t_bus=t_bus, dtype=np.dtype(dtype),
+                                     x_star=chord_x_star)
             chord_y_re = float(series.real[br])
             chord_y_im = float(series.imag[br])
             chord_ysh = float(spec.br_b[br] / 2.0)

@@ -71,6 +71,11 @@ class VecTask:
     next_vars_fn: Callable
     init_task_fn: Callable = lambda key: ()
     rates: Optional[np.ndarray] = None  # override the spec's branch rates
+    # Optional chord linearization point [2(n_bus-1)] for the f32 solver —
+    # the task's typical solved operating state (host-computed).  None =
+    # flat start.  Iteration-count tuning only; the stopping rule is
+    # unchanged, so results are identical either way.
+    chord_x_star: Optional[np.ndarray] = None
     name: str = "task"
 
 
@@ -88,7 +93,8 @@ class VecEnv:
         self.task = task
         self.dtype = jnp.dtype(dtype)
         self.spec: NetworkSpec = load_network(task.network)
-        self.tables: GridTables = make_tables(self.spec, task.delta_t, task.lamb, dtype=dtype)
+        self.tables: GridTables = make_tables(self.spec, task.delta_t, task.lamb, dtype=dtype,
+                                      chord_x_star=task.chord_x_star)
         spec = self.spec
 
         c1 = np.inf if task.costs_clipping is None or task.costs_clipping[0] is None else task.costs_clipping[0]
