@@ -20,6 +20,7 @@ devices and environment lanes.
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,60 +31,152 @@ def make_pair_indices(k):
     return np.asarray(iu[0]), np.asarray(iu[1])
 
 
+def _project_batched(point, A, b, pair_i, pair_j):
+    """Batch-minor projection: point [B,G,2], A [B,G,K,2], b [B,G,K].
+
+    Same candidate enumeration as :func:`_project_impl`, but every
+    intermediate keeps the LANE axis on the minor (last) dimension.  Under
+    plain vmap the per-lane [n_cand, K] intermediates land batch-leading,
+    so each op's (n_cand, K) tail pads to the TPU's (8, 128) tile — an
+    ~18x memory blowup that made the 5-generator projection ~60% of the
+    whole IEEE33-renewable step.  With [n_cand, K, G, B] layouts the lane
+    dim fills the 128-wide tiles densely.
+    """
+    pair_i = np.asarray(pair_i)
+    pair_j = np.asarray(pair_j)
+    # -> [K, G, B] / [G, B] layouts.
+    px = jnp.transpose(point[..., 0], (1, 0))            # [G, B]
+    py = jnp.transpose(point[..., 1], (1, 0))
+    ax = jnp.transpose(A[..., 0], (2, 1, 0))             # [K, G, B]
+    ay = jnp.transpose(A[..., 1], (2, 1, 0))
+    bt = jnp.transpose(b, (2, 1, 0))                     # [K, G, B]
+
+    finite_A = jnp.isfinite(ax) & jnp.isfinite(ay)
+    nonzero_A = (jnp.abs(ax) + jnp.abs(ay)) > 0
+    active = jnp.isfinite(bt) & finite_A & nonzero_A
+    tol = 1e-11 * (1.0 + jnp.abs(bt))
+
+    nrm2 = ax * ax + ay * ay
+    resid = ax * px[None] + ay * py[None] - bt
+    scale = resid / jnp.where(nrm2 > 0, nrm2, 1.0)
+    lp_x = jnp.where(active, px[None] - ax * scale, jnp.inf)
+    lp_y = jnp.where(active, py[None] - ay * scale, jnp.inf)
+
+    aix, aiy, bi = ax[pair_i], ay[pair_i], bt[pair_i]    # [P, G, B]
+    ajx, ajy, bj = ax[pair_j], ay[pair_j], bt[pair_j]
+    det = aix * ajy - aiy * ajx
+    ok = (jnp.abs(det) > 1e-30) & active[pair_i] & active[pair_j]
+    safe_det = jnp.where(ok, det, 1.0)
+    vx = jnp.where(ok, (bi * ajy - bj * aiy) / safe_det, jnp.inf)
+    vy = jnp.where(ok, (aix * bj - ajx * bi) / safe_det, jnp.inf)
+
+    Cx = jnp.concatenate([px[None], lp_x, vx], axis=0)   # [C, G, B]
+    Cy = jnp.concatenate([py[None], lp_y, vy], axis=0)
+
+    K = ax.shape[0]
+    feas = jnp.isfinite(Cx) & jnp.isfinite(Cy)
+    for k in range(K):                                    # static unroll
+        viol_k = Cx * ax[k][None] + Cy * ay[k][None] - bt[k][None]
+        feas &= jnp.where(active[k][None], viol_k <= tol[k][None], True)
+
+    d2 = (Cx - px[None]) ** 2 + (Cy - py[None]) ** 2
+    d2 = jnp.where(feas, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=0)                        # [G, B]
+    out_x = jnp.take_along_axis(Cx, best[None], axis=0)[0]
+    out_y = jnp.take_along_axis(Cy, best[None], axis=0)[0]
+    return jnp.stack([out_x.T, out_y.T], axis=-1)        # [B, G, 2]
+
+
 @partial(jnp.vectorize, excluded=(3, 4), signature="(two),(k,two),(k)->(two)")
 def _project_impl(point, A, b, pair_i, pair_j):
+    # NOTE on style: every "A·x" below is written as explicit 2-term
+    # broadcast arithmetic (ax·x + ay·y), NOT as @/dot.  Under vmap over
+    # lanes×devices the dot form becomes a huge batch of [29,2]@[2,K]
+    # matmuls, which XLA lowers catastrophically on TPU (measured: ~1.9 ms
+    # of a 2.8 ms step at B=8192×5 generators — ~60% of the whole
+    # transition); the expanded form is plain fused VPU elementwise work.
+    ax, ay = A[:, 0], A[:, 1]
+    px, py = point[0], point[1]
+
     # Row k is "active" if it describes a real constraint: finite b, finite
     # non-zero normal.  Rows with b=+inf (unbounded sides) or NaN data
     # (degenerate tau/rho from infinite bounds) never bind.
-    finite_A = jnp.all(jnp.isfinite(A), axis=1)
-    nonzero_A = jnp.sum(jnp.abs(A), axis=1) > 0
+    finite_A = jnp.isfinite(ax) & jnp.isfinite(ay)
+    nonzero_A = (jnp.abs(ax) + jnp.abs(ay)) > 0
     active = jnp.isfinite(b) & finite_A & nonzero_A
 
     # Feasibility tolerance: tight (the candidates are exact up to rounding).
     tol = 1e-11 * (1.0 + jnp.abs(b))
 
-    def feasible(c):
-        viol = A @ c - b
-        return jnp.all(jnp.where(active, viol <= tol, True))
-
-    # Candidate 0: the point itself.
-    cands = [point]
-
     # Candidates 1..K: projection onto each supporting line
     #   c = x − a (aᵀx − b) / ‖a‖².
-    nrm2 = jnp.sum(A * A, axis=1)
-    resid = A @ point - b
-    safe_nrm2 = jnp.where(nrm2 > 0, nrm2, 1.0)
-    line_proj = point[None, :] - A * (resid / safe_nrm2)[:, None]
-    line_proj = jnp.where(active[:, None], line_proj, jnp.inf)
-    cands.append(line_proj)
+    nrm2 = ax * ax + ay * ay
+    resid = ax * px + ay * py - b
+    scale = resid / jnp.where(nrm2 > 0, nrm2, 1.0)
+    lp_x = jnp.where(active, px - ax * scale, jnp.inf)
+    lp_y = jnp.where(active, py - ay * scale, jnp.inf)
 
     # Candidates: pairwise intersections (vertices).
-    ai, aj = A[pair_i], A[pair_j]
-    bi, bj = b[pair_i], b[pair_j]
-    det = ai[:, 0] * aj[:, 1] - ai[:, 1] * aj[:, 0]
+    aix, aiy, bi = ax[pair_i], ay[pair_i], b[pair_i]
+    ajx, ajy, bj = ax[pair_j], ay[pair_j], b[pair_j]
+    det = aix * ajy - aiy * ajx
     ok = (jnp.abs(det) > 1e-30) & active[pair_i] & active[pair_j]
     safe_det = jnp.where(ok, det, 1.0)
-    vx = (bi * aj[:, 1] - bj * ai[:, 1]) / safe_det
-    vy = (ai[:, 0] * bj - aj[:, 0] * bi) / safe_det
-    verts = jnp.where(ok[:, None], jnp.stack([vx, vy], axis=1), jnp.inf)
-    cands.append(verts)
+    vx = jnp.where(ok, (bi * ajy - bj * aiy) / safe_det, jnp.inf)
+    vy = jnp.where(ok, (aix * bj - ajx * bi) / safe_det, jnp.inf)
 
-    C = jnp.concatenate([c.reshape(-1, 2) for c in cands], axis=0)
-    feas = jnp.all(
-        jnp.where(active[None, :], C @ A.T - b[None, :] <= tol[None, :], True), axis=1
-    )
-    feas &= jnp.all(jnp.isfinite(C), axis=1)
-    d2 = jnp.sum((C - point[None, :]) ** 2, axis=1)
+    # All candidates: the point, K line projections, K(K−1)/2 vertices.
+    Cx = jnp.concatenate([px[None], lp_x, vx])
+    Cy = jnp.concatenate([py[None], lp_y, vy])
+
+    viol = Cx[:, None] * ax[None, :] + Cy[:, None] * ay[None, :] - b[None, :]
+    feas = jnp.all(jnp.where(active[None, :], viol <= tol[None, :], True), axis=1)
+    feas &= jnp.isfinite(Cx) & jnp.isfinite(Cy)
+    d2 = (Cx - px) ** 2 + (Cy - py) ** 2
     d2 = jnp.where(feas, d2, jnp.inf)
     best = jnp.argmin(d2)
-    return C[best]
+    return jnp.stack([Cx[best], Cy[best]])
+
+
+def _make_project_cv(pair_i, pair_j):
+    """A custom-vmap projection bound to one static pair-index set: per
+    lane it is the vectorized candidate enumeration; under ``vmap`` the
+    whole batch dispatches to the batch-minor kernel (same candidates,
+    same tie-breaking order)."""
+
+    @jax.custom_batching.custom_vmap
+    def project(point, A, b):
+        return _project_impl(point, A, b, pair_i, pair_j)
+
+    @project.def_vmap
+    def _rule(axis_size, in_batched, point, A, b):
+        pb, Ab, bb = in_batched
+
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        out = _project_batched(bcast(point, pb), bcast(A, Ab), bcast(b, bb),
+                               pair_i, pair_j)
+        return out, True
+
+    return project
+
+
+_PROJECT_CV_CACHE = {}
 
 
 def project_polytope_2d(point, A, b, pair_idx):
-    """Project ``point`` [... , 2] onto {x : A x ≤ b}.
+    """Project ``point`` [G, 2] onto {x : A x ≤ b} per device.
 
-    A: [..., K, 2], b: [..., K]; ``pair_idx`` from :func:`make_pair_indices`.
-    Broadcasts over leading axes (devices, batch lanes).
+    A: [G, K, 2], b: [G, K]; ``pair_idx`` from :func:`make_pair_indices`.
+    vmap over a leading lane axis dispatches to a batch-minor TPU layout
+    (see :func:`_project_batched`).
     """
-    return _project_impl(point, A, b, pair_idx[0], pair_idx[1])
+    pi = np.asarray(pair_idx[0])
+    pj = np.asarray(pair_idx[1])
+    key = (pi.tobytes(), pj.tobytes())
+    fn = _PROJECT_CV_CACHE.get(key)
+    if fn is None:
+        fn = _make_project_cv(np.asarray(pair_idx[0]), np.asarray(pair_idx[1]))
+        _PROJECT_CV_CACHE[key] = fn
+    return fn(point, A, b)

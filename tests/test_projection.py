@@ -89,3 +89,56 @@ def test_batched_shapes():
         for j in range(D):
             ref = _brute(pts[i, j], A[i, j], b[i, j])
             np.testing.assert_allclose(out[i, j], ref, atol=1e-6)
+
+
+def test_box_only_clip_path_equals_full_projection():
+    """Generators WITHOUT flexibility data (no P+/Q± columns) have purely
+    axis-aligned feasible regions; make_tables flags such networks box-only
+    and the transition projects by clipping — which must equal the full
+    polytope projection exactly (the axis-aligned Euclidean projection IS
+    the per-coordinate clip).  (The shipped renewable family does NOT
+    qualify — its gens carry sloped tau rows — so this uses a synthetic
+    network.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_anm_tpu.networks import anm6_network
+    from gym_anm_tpu.physics.transition import make_tables
+    from gym_anm_tpu.specs.network import load_network
+
+    N = None
+    box_net = {
+        "baseMVA": 100,
+        "bus": np.array([[0, 0, 132, 1.0, 1.0], [1, 1, 33, 1.1, 0.9]]),
+        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 999, 1, 0]]),
+        "device": np.array(
+            [
+                [0, 0, 0, N, 200, -200, 200, -200] + [N] * 7,
+                [1, 1, 2, N, 30, 0, 20, -20] + [N] * 7,   # no P+/Q± data
+                [2, 1, 1, N, 50, 0, 25, -15] + [N] * 7,
+            ],
+            dtype=object,
+        ),
+    }
+    spec = load_network(box_net)
+    tb = make_tables(spec, 1.0, 100, dtype=jnp.float64)
+    assert tb.gen_box_only, "gens without flexibility data -> box-only"
+
+    rng = np.random.RandomState(0)
+    n_gen = len(tb.gen_pos)
+    for _ in range(20):
+        pt = rng.uniform(-2, 2, (n_gen, 2))
+        p_pot = jnp.asarray(rng.uniform(0, 1, n_gen))
+        b = jnp.asarray(tb.gen_b_static).at[:, 2].set(
+            jnp.clip(p_pot, tb.gen_p_min, tb.gen_p_max))
+        full = project_polytope_2d(jnp.asarray(pt), tb.gen_A, b, tb.gen_pair)
+        clip_p = np.clip(pt[:, 0], tb.gen_p_min,
+                         np.minimum(tb.gen_p_max, np.asarray(b)[:, 2]))
+        clip_q = np.clip(pt[:, 1], tb.gen_box_q_lo, tb.gen_box_q_hi)
+        np.testing.assert_allclose(np.asarray(full[:, 0]), clip_p, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(full[:, 1]), clip_q, atol=1e-12)
+
+    # ANM6 generators DO have sloped rows -> the flag must stay off.
+    spec6 = load_network(anm6_network)
+    tb6 = make_tables(spec6, 0.25, 100, dtype=jnp.float64)
+    assert not tb6.gen_box_only
