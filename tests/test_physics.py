@@ -147,3 +147,42 @@ def test_transition_satisfies_pfe_invariants(net):
         _, _, _, _, conv = sim.transition(P_load, P_pot, P_set, Q_set)
         assert conv
         check_pfe_solution(sim)
+
+
+def test_numpy_nr_solve_matches_baseline_vmin():
+    """The host-side numpy NR solver (used to pick chord linearization
+    points) reproduces the measured BASELINE anchor: IEEE33 at 1.0x
+    nominal case33bw load has v_min = 0.95328 p.u. (BASELINE.md, measured
+    against the reference solver)."""
+    import numpy as np
+
+    from gym_anm_tpu.networks import ieee33_network
+    from gym_anm_tpu.physics.power_flow import numpy_nr_solve
+    from gym_anm_tpu.specs.network import load_network
+
+    spec = load_network(ieee33_network)
+    N = spec.n_bus
+    series = 1.0 / (spec.br_r + 1j * spec.br_x)
+    tap = spec.br_tap0 * np.exp(1j * spec.br_shift)
+    sh = 1j * spec.br_b / 2.0
+    Y = np.zeros((N, N), complex)
+    for k in range(spec.n_branch):
+        f, t = int(spec.br_f[k]), int(spec.br_t[k])
+        Y[f, t] += -series[k] / np.conj(tap[k])
+        Y[t, f] += -series[k] / tap[k]
+        Y[f, f] += (series[k] + sh[k]) / np.abs(tap[k]) ** 2
+        Y[t, t] += series[k] + sh[k]
+
+    # Full nominal loads (NOT the 1/100 init_state quirk): p_min is the
+    # nominal case33bw draw in p.u.
+    p_bus = np.zeros(N)
+    q_bus = np.zeros(N)
+    for d in spec.load_pos:
+        bus = int(spec.dev_bus[d])
+        p_bus[bus] += spec.p_min[d]
+        q_bus[bus] += spec.p_min[d] * spec.qp_ratio[d]
+
+    x = numpy_nr_solve(Y, p_bus[1:], q_bus[1:])
+    vm = x[N - 1:]
+    assert np.all(np.isfinite(vm))
+    np.testing.assert_allclose(vm.min(), 0.95328, atol=5e-5)
