@@ -23,6 +23,13 @@ import jax as _jax
 # costs nothing on the hot paths.
 _jax.config.update("jax_enable_x64", True)
 
+# Persist XLA compiles across processes (TPU compiles are 20-40 s per
+# program shape through the remote compile server; a warm on-disk cache
+# skips them entirely).  Respects an existing user-configured cache dir.
+from .utils.compile_cache import enable_persistent_cache as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 from . import errors  # noqa: E402
 from .specs import NetworkSpec, check_network_specs, load_network  # noqa: E402
 

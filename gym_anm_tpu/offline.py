@@ -41,6 +41,9 @@ def _collect_pairs(env, steps: int, select_agent: Callable[[int], Optional[Calla
         next_obs, _, terminated, truncated, _ = env.step(action)
         pairs.append((obs, action))
         obs = env.reset()[0] if (terminated or truncated) else next_obs
+    if not pairs:  # steps == 0: empty arrays with the right trailing shapes
+        return (np.empty((0,) + np.shape(obs)),
+                np.empty((0, len(env.action_space.low))))
     states, actions = zip(*pairs)
     return np.stack(states), np.stack(actions)
 

@@ -372,6 +372,10 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     C = jnp.asarray(const.C, dtype)
     n = Y0re.shape[-1] - 1
     t = const.t_bus
+    # One-hot row for the ΔY tap correction: a fused multiply-add in the
+    # mismatch instead of a dynamic-update-slice per iteration (scatters
+    # break XLA's elementwise fusion chains; launch count is the floor).
+    e_t = jnp.zeros(n + 1, dtype).at[t].set(1.0)
 
     # K = W (I + C W)⁻¹, 2×2 per lane in closed form.  W(a) at the
     # linearization point V*: ΔS_t = V*_t·conj(δ) (slack pinned at 1+0j),
@@ -405,8 +409,8 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         # slice of the ~25µs/iteration budget, so the scheme saves nothing
         # while complicating the acceptance logic.  See docs/performance.md.)
         yv_re, yv_im = cmatvec(Y0re, Y0im, v_re, v_im, precision=jax.lax.Precision.HIGHEST)
-        yv_re = yv_re.at[t].add(dtf_re)
-        yv_im = yv_im.at[t].add(dtf_im)
+        yv_re = yv_re + e_t * dtf_re
+        yv_im = yv_im + e_t * dtf_im
         s_re = v_re * yv_re + v_im * yv_im
         s_im = v_im * yv_re - v_re * yv_im
         return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
@@ -448,9 +452,14 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         # converges).  The stopping rule is untouched: acceleration
         # only shapes the path, the fixed point F(x)=0 and its
         # true-residual test are identical.
+        # Elementwise multiply+reduce, NOT jnp.vdot: vdot lowers to a
+        # dot_general whose TPU default multiplies in bf16, adding noise to
+        # γ that only shows up on hardware (the acceptance-cliff regression
+        # test runs on CPU).  The VPU form is f32-exact and just as fast on
+        # 2n-vectors.
         df = f - f_prev
-        denom = jnp.vdot(df, df)
-        gamma = jnp.where(denom > 1e-30, jnp.vdot(f, df) / denom, 0.0)
+        denom = jnp.sum(df * df)
+        gamma = jnp.where(denom > 1e-30, jnp.sum(f * df) / denom, 0.0)
         # First iteration has no history; clamp extrapolation for
         # safety (runaway γ near a stagnating pair).  CRITICAL: disable
         # the acceleration once the residual is within ~100x of xtol —
@@ -499,8 +508,8 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     # reduction, not a matvec — the row sums of Y0 constant-fold at trace
     # time.  Accepted lanes are never reset (their x is the answer).
     finite = jnp.logical_and(jnp.isfinite(diff), jnp.all(jnp.isfinite(x)))
-    rs_re = jnp.sum(Y0re, axis=-1).at[t].add(dtf_re)
-    rs_im = jnp.sum(Y0im, axis=-1).at[t].add(dtf_im)
+    rs_re = jnp.sum(Y0re, axis=-1) + e_t * dtf_re
+    rs_im = jnp.sum(Y0im, axis=-1) + e_t * dtf_im
     F_flat = jnp.concatenate([rs_re[1:] - p, -rs_im[1:] - q])
     diff_flat = jnp.max(jnp.abs(F_flat))
     # Accept at xtol, or at the plateau tolerance only when the lane

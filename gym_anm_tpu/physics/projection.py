@@ -31,6 +31,167 @@ def make_pair_indices(k):
     return np.asarray(iu[0]), np.asarray(iu[1])
 
 
+# ---------------------------------------------------------------------------
+# Specialized box + sloped-line projector
+# ---------------------------------------------------------------------------
+#
+# Every device polytope the reference builds (devices.py:282-306, 474-524) has
+# the same template: an axis-aligned box (p/q bounds, potential caps, SoC-rate
+# caps) intersected with a few NON-axis-aligned half-planes that are always
+# upper or lower bounds on q along a line:
+#
+#     upper:  q <= t·p + r      (generator row [-τ₁, 1]·x <= ρ₁, etc.)
+#     lower:  q >= t·p + r      (generator row [ τ₂,-1]·x <= -ρ₂, etc.)
+#
+# For this shape the exact Euclidean projection needs no candidate
+# enumeration at all.  Let y = clip(x, box):
+#
+# * if y satisfies every sloped row, then y ∈ R and (projection onto a
+#   superset landing inside the subset) y = P_R(x) — done;
+# * otherwise the sloped rows cannot all be inactive at the solution (an
+#   inactive-slope KKT point would equal y, which is infeasible), so the
+#   solution lies on the EDGE of some active sloped line: the segment of
+#   {q = t·p + r} inside the remaining constraints.  The projection onto a
+#   segment is the foot of the perpendicular with its line parameter clamped
+#   to the segment — and since every other constraint is linear in p along
+#   the line, the segment is a p-interval computed by interval
+#   intersection.  Each edge projection that exists is feasible, and the
+#   true solution is one of them, so the distance-argmin over edges is
+#   exact.
+#
+# Cost: ~60 fused elementwise ops with NO candidate axis, versus the general
+# enumeration's [1 + K + K(K-1)/2] candidates × K feasibility checks
+# (29×7 for generators, 56×10 for storage).  Results equal
+# :func:`project_polytope_2d` up to float rounding (the general path builds
+# the same feet/vertices through different expressions); equality is pinned
+# in tests/test_projection.py at 1e-9 in float64.
+
+
+def _ival_ge(c, d, lo, hi, empty):
+    """Intersect the p-interval [lo, hi] with {p : c·p >= d} (branchless).
+
+    ``d = -inf`` encodes "no constraint" (inactive rows); NaN ``c`` (from
+    inactive-row slope arithmetic) compares False everywhere and is a no-op.
+    """
+    safe = jnp.where(c != 0, c, 1.0)
+    v = d / safe
+    lo = jnp.where(c > 0, jnp.maximum(lo, v), lo)
+    hi = jnp.where(c < 0, jnp.minimum(hi, v), hi)
+    empty = empty | ((c == 0) & (d > 0))
+    return lo, hi, empty
+
+
+def _edge_project(i, lines, px, py, p_lo, p_hi, q_lo, q_hi):
+    """Project (px, py) onto the feasible segment of sloped line ``i``.
+
+    ``lines`` = [(t, r, act, is_upper), ...]; returns (d2, p*, q*) with
+    d2 = +inf where the edge is empty or the line inactive.
+    """
+    t, r, act, _ = lines[i]
+    resid = py - (t * px + r)
+    foot_p = px + t * resid / (1.0 + t * t)
+
+    shape = jnp.broadcast_shapes(jnp.shape(px), jnp.shape(p_lo), jnp.shape(p_hi))
+    lo = jnp.broadcast_to(p_lo, shape)
+    hi = jnp.broadcast_to(p_hi, shape)
+    empty = jnp.zeros(shape, bool)
+    # q-box along the line:  q_lo <= t·p + r <= q_hi.
+    lo, hi, empty = _ival_ge(t, q_lo - r, lo, hi, empty)
+    lo, hi, empty = _ival_ge(-t, r - q_hi, lo, hi, empty)
+    for j, (tj, rj, actj, upper_j) in enumerate(lines):
+        if j == i:
+            continue
+        if upper_j:  # this line's q must stay <= line j:  (tj - t)·p >= r - rj
+            lo, hi, empty = _ival_ge(tj - t, jnp.where(actj, r - rj, -jnp.inf), lo, hi, empty)
+        else:        # ... and >= lower line j:  (t - tj)·p >= rj - r
+            lo, hi, empty = _ival_ge(t - tj, jnp.where(actj, rj - r, -jnp.inf), lo, hi, empty)
+
+    p_star = jnp.clip(foot_p, lo, hi)
+    q_star = t * p_star + r
+    valid = act & (lo <= hi) & ~empty
+    d2 = jnp.where(valid, (p_star - px) ** 2 + (q_star - py) ** 2, jnp.inf)
+    return d2, p_star, q_star
+
+
+def _box_slopes_core(px, py, p_lo, p_hi, q_lo, q_hi, lines):
+    """Elementwise exact projection (see module comment).  All arguments
+    broadcast; ``lines`` entries are (t, r, act, is_upper)."""
+    yx = jnp.clip(px, p_lo, p_hi)
+    yy = jnp.clip(py, q_lo, q_hi)
+    feas = ~((p_lo > p_hi) | (q_lo > q_hi))
+    for t, r, act, is_upper in lines:
+        tol = 1e-11 * (1.0 + jnp.abs(r))
+        viol = (yy - (t * yx + r)) if is_upper else ((t * yx + r) - yy)
+        feas &= jnp.where(act, viol <= tol, True)
+
+    # Best edge projection (falls back to the unprojected point when every
+    # edge is empty — i.e. the region itself is empty, matching the general
+    # enumeration's all-candidates-infeasible behavior).
+    best_d2 = jnp.full(jnp.broadcast_shapes(jnp.shape(px), jnp.shape(p_lo)),
+                       jnp.inf, dtype=jnp.result_type(px))
+    bx, by = jnp.broadcast_to(px, best_d2.shape), jnp.broadcast_to(py, best_d2.shape)
+    for i in range(len(lines)):
+        d2, cx, cy = _edge_project(i, lines, px, py, p_lo, p_hi, q_lo, q_hi)
+        take = d2 < best_d2
+        best_d2 = jnp.where(take, d2, best_d2)
+        bx = jnp.where(take, cx, bx)
+        by = jnp.where(take, cy, by)
+
+    out_x = jnp.where(feas, yx, bx)
+    out_y = jnp.where(feas, yy, by)
+    return out_x, out_y
+
+
+def make_box_slopes_projector(q_lo, q_hi, uppers, lowers):
+    """Bind a device family's static rows into a projector
+    ``project(point [G,2], p_lo [G], p_hi [G]) -> [G,2]``.
+
+    ``q_lo``/``q_hi``: [G] static q bounds (±inf when the row is absent).
+    ``uppers``/``lowers``: sequences of (t [G], r [G], active [G]) static
+    sloped rows (q <= t·p + r resp. q >= t·p + r).
+
+    The p bounds stay dynamic arguments because the devices' p caps move at
+    runtime (generator potential, storage SoC-rate rows).  vmap over a
+    leading lane axis dispatches to a batch-minor [G, B] layout — the same
+    trick as :func:`project_polytope_2d`: batch-leading [B, G] tails with
+    G ≈ 5 would waste ~96% of each 128-wide TPU tile.
+    """
+    q_lo = np.asarray(q_lo)
+    q_hi = np.asarray(q_hi)
+    lines = [(np.asarray(t), np.asarray(r), np.asarray(a), True) for t, r, a in uppers]
+    lines += [(np.asarray(t), np.asarray(r), np.asarray(a), False) for t, r, a in lowers]
+
+    def run(point, p_lo, p_hi, batched):
+        if batched:
+            # -> [G, B] batch-minor layouts; statics broadcast as [G, 1].
+            px = jnp.transpose(point[..., 0], (1, 0))
+            py = jnp.transpose(point[..., 1], (1, 0))
+            expand = lambda a: jnp.asarray(a)[:, None] if jnp.ndim(a) == 1 else jnp.transpose(a, (1, 0))
+            p_lo_b, p_hi_b = expand(p_lo), expand(p_hi)
+            ql, qh = q_lo[:, None], q_hi[:, None]
+            ls = [(t[:, None], r[:, None], a[:, None], u) for t, r, a, u in lines]
+            ox, oy = _box_slopes_core(px, py, p_lo_b, p_hi_b, ql, qh, ls)
+            return jnp.stack([ox.T, oy.T], axis=-1)
+        ox, oy = _box_slopes_core(point[..., 0], point[..., 1], p_lo, p_hi, q_lo, q_hi, lines)
+        return jnp.stack([ox, oy], axis=-1)
+
+    @jax.custom_batching.custom_vmap
+    def project(point, p_lo, p_hi):
+        return run(point, p_lo, p_hi, batched=False)
+
+    @project.def_vmap
+    def _rule(axis_size, in_batched, point, p_lo, p_hi):
+        pb, lb, hb = in_batched
+
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+        out = run(bcast(point, pb), bcast(p_lo, lb), bcast(p_hi, hb), batched=True)
+        return out, True
+
+    return project
+
+
 def _project_batched(point, A, b, pair_i, pair_j):
     """Batch-minor projection: point [B,G,2], A [B,G,K,2], b [B,G,K].
 

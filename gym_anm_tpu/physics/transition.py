@@ -23,7 +23,7 @@ import numpy as np
 from ..specs.network import NetworkSpec
 from .complexops import cmatvec
 from .power_flow import ChordConst, chord_solve, make_chord_const, nr_solve, nr_solve_lazy
-from .projection import make_pair_indices, project_polytope_2d
+from .projection import make_box_slopes_projector, make_pair_indices, project_polytope_2d
 from .ybus import build_ybus
 
 _GEN_K = 7   # generator feasible-region half-planes (devices.py:296-298)
@@ -112,15 +112,33 @@ class GridTables(NamedTuple):
     chord_shift: float = 0.0
     chord_a0: float = 1.0
     chord_has_oltc: bool = False
-    # True when EVERY generator's active constraints are axis-aligned
-    # (no sloped τ/ρ flexibility rows): the exact polytope projection then
-    # reduces to a per-coordinate clip with the effective q bounds below —
-    # the IEEE33 renewable family qualifies, and the clip path removes the
-    # 29-candidate enumeration (~60% of that family's step time) from the
-    # hot loop.  Networks with sloped rows (ANM6) keep the full projection.
-    gen_box_only: bool = False
-    gen_box_q_lo: np.ndarray = None
-    gen_box_q_hi: np.ndarray = None
+    # Specialized exact projectors (projection.make_box_slopes_projector):
+    # every reference device polytope is an axis-aligned box + sloped
+    # q-bound lines, so the hot-path projection is a 3-candidate case
+    # analysis (box clip or a clamped sloped-edge foot) instead of the
+    # general [1+K+K(K−1)/2]-candidate enumeration.  The general
+    # project_polytope_2d stays as the oracle these are tested against.
+    gen_project: any = None
+    gen_p_lo_row: np.ndarray = None   # [n_gen] p bounds (−inf = row absent)
+    gen_p_hi_row: np.ndarray = None
+    des_project: any = None
+    des_p_lo_row: np.ndarray = None   # [n_des] static p bounds; the dynamic
+    des_p_hi_row: np.ndarray = None   # SoC-rate rows fold in at runtime
+
+    # Scatter-free assembly (set when {slack}∪loads∪gens∪des∪caps partitions
+    # the device set — true for every reference network).  Per-class values
+    # are CONCATENATED in class order [slack, loads, gens, des, caps]; the
+    # device-ordered vector is one static gather (dev_perm), and bus
+    # injections are either one one-hot matmul (f32; HIGHEST precision keeps
+    # the 0/1 products bf16-exact) or one scatter-add (f64) instead of ~10
+    # per-class scatters.  Kernel-launch count is the step-time floor on
+    # TPU (docs/performance.md), so fewer scatter kernels = direct savings.
+    dev_perm: np.ndarray = None       # [n_dev] gather into the concat order
+    concat_bus: np.ndarray = None     # [n_dev] bus of each concat slot
+    bus_mat: np.ndarray = None        # [n_dev, n_bus] one-hot over concat slots
+    slack_bus_mask: np.ndarray = None  # [n_bus] bool
+    gen_rer_mask: np.ndarray = None   # [n_gen] 1.0 where renewable
+    oltc_mask: np.ndarray = None      # [n_branch] bool (n_oltc == 1 only)
 
 
 def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64, chord_x_star=None) -> GridTables:
@@ -173,32 +191,55 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64, chord_x_sta
             0.0,
         ]
 
-    # Detect box-only generator feasible regions (see GridTables field):
-    # rows 0-4 are axis-aligned by construction; rows 5/6 are sloped unless
-    # τ is NaN (no flexibility data → inactive) or exactly 0 (degenerate
-    # slope → an extra axis-aligned q bound, folded into the clip bounds).
-    gen_box_only = True
-    gen_q_lo = spec.q_min[gp].copy()
-    gen_q_hi = spec.q_max[gp].copy()
-    for i, d in enumerate(gp):
-        t1, t2 = spec.tau_1[d], spec.tau_2[d]
-        r1, r2 = spec.rho_1[d], spec.rho_2[d]
-        if np.isnan(t1):
-            pass
-        elif t1 == 0.0:
-            if not np.isnan(r1):
-                gen_q_hi[i] = min(gen_q_hi[i], r1)   # [0,1]·x ≤ ρ₁
-        else:
-            gen_box_only = False
-        if np.isnan(t2):
-            pass
-        elif t2 == 0.0:
-            if not np.isnan(r2):
-                gen_q_lo[i] = max(gen_q_lo[i], r2)   # [0,−1]·x ≤ −ρ₂
-        else:
-            gen_box_only = False
+    # Specialized projector bindings.  Row-active semantics mirror
+    # projection._project_impl: a row binds iff its b AND normal are finite
+    # (NaN τ/ρ = no flexibility data, ±inf bound = unbounded side).
+    npdt = np.dtype(dtype)
+
+    def _bound(vals, sign):
+        return np.where(np.isfinite(vals), vals, sign * np.inf).astype(npdt)
+
+    def _slope_rows(tau, rho):
+        act = np.isfinite(tau) & np.isfinite(rho)
+        return (np.where(act, tau, 0.0).astype(npdt),
+                np.where(act, rho, 0.0).astype(npdt), act)
+
+    gen_project = make_box_slopes_projector(
+        _bound(spec.q_min[gp], -1), _bound(spec.q_max[gp], +1),
+        uppers=[_slope_rows(spec.tau_1[gp], spec.rho_1[gp])],
+        lowers=[_slope_rows(spec.tau_2[gp], spec.rho_2[gp])],
+    )
+    gen_p_lo_row = _bound(spec.p_min[gp], -1)
+    gen_p_hi_row = _bound(spec.p_max[gp], +1)
+
+    des_project = make_box_slopes_projector(
+        _bound(spec.q_min[dp], -1), _bound(spec.q_max[dp], +1),
+        uppers=[_slope_rows(spec.tau_1[dp], spec.rho_1[dp]),
+                _slope_rows(spec.tau_4[dp], spec.rho_4[dp])],
+        lowers=[_slope_rows(spec.tau_2[dp], spec.rho_2[dp]),
+                _slope_rows(spec.tau_3[dp], spec.rho_3[dp])],
+    )
+    des_p_lo_row = _bound(spec.p_min[dp], -1)
+    des_p_hi_row = _bound(spec.p_max[dp], +1)
 
     rer_in_gen = np.array([int(np.where(gp == r)[0][0]) for r in spec.rer_pos], dtype=np.int64)
+
+    # Scatter-free assembly tables (see GridTables docstring).
+    concat_pos = np.concatenate([[spec.slack_dev_pos], spec.load_pos, gp, dp, spec.cap_pos])
+    dev_perm = concat_bus = bus_mat = slack_bus_mask = oltc_mask = None
+    if np.array_equal(np.sort(concat_pos), np.arange(spec.n_dev)):
+        dev_perm = np.empty(spec.n_dev, np.int64)
+        dev_perm[concat_pos] = np.arange(spec.n_dev)
+        concat_bus = spec.dev_bus[concat_pos].astype(np.int64)
+        bus_mat = np.zeros((spec.n_dev, spec.n_bus))
+        bus_mat[np.arange(spec.n_dev), concat_bus] = 1.0
+        slack_bus_mask = np.zeros(spec.n_bus, bool)
+        slack_bus_mask[spec.slack_pos] = True
+    if spec.n_oltc == 1:
+        oltc_mask = np.zeros(spec.n_branch, bool)
+        oltc_mask[int(spec.oltc_branch[0])] = True
+    gen_rer_mask = np.zeros(len(gp))
+    gen_rer_mask[rer_in_gen] = 1.0
 
     # Chord-Newton fast-path constants: nominal-tap Y-bus + flat-start
     # inverse Jacobian + rank-2 Woodbury correction matrices (see
@@ -273,9 +314,18 @@ def make_tables(spec: NetworkSpec, delta_t, lamb, dtype=jnp.float64, chord_x_sta
         gen_A=f(gen_A),
         gen_b_static=f(gen_b),
         gen_pair=make_pair_indices(_GEN_K),
-        gen_box_only=gen_box_only,
-        gen_box_q_lo=f(gen_q_lo),
-        gen_box_q_hi=f(gen_q_hi),
+        gen_project=gen_project,
+        gen_p_lo_row=gen_p_lo_row,
+        gen_p_hi_row=gen_p_hi_row,
+        des_project=des_project,
+        des_p_lo_row=des_p_lo_row,
+        des_p_hi_row=des_p_hi_row,
+        dev_perm=dev_perm,
+        concat_bus=concat_bus,
+        bus_mat=None if bus_mat is None else f(bus_mat),
+        slack_bus_mask=slack_bus_mask,
+        gen_rer_mask=f(gen_rer_mask),
+        oltc_mask=oltc_mask,
         des_A=f(des_A),
         des_b_static=f(des_b),
         des_soc_min=f(spec.soc_min[dp]),
@@ -400,68 +450,90 @@ def transition(
 ) -> TransitionOut:
     """One full grid transition.  Pure; vmap over a leading batch axis."""
     dt = tb.dtype
-    dev_p = jnp.zeros(tb.n_dev, dtype=dt)
-    dev_q = jnp.zeros(tb.n_dev, dtype=dt)
 
     # 1. Loads: clip + constant power factor (devices.py:158-169).
     p_l = jnp.clip(P_load / tb.baseMVA, tb.load_p_min, tb.load_p_max)
     q_l = p_l * tb.load_qp
-    dev_p = dev_p.at[tb.load_pos].set(p_l)
-    dev_q = dev_q.at[tb.load_pos].set(q_l)
 
     # 2. Non-slack generators: clip potential, project set-point onto the
-    #    feasible polygon (devices.py:183-189, 282-306).
+    #    feasible polygon (devices.py:183-189, 282-306) — box + one sloped
+    #    q-bound pair, so the specialized case-analysis projector applies
+    #    (projection.make_box_slopes_projector; the dynamic p_pot row is an
+    #    extra p cap, folded into the box via min).
     if len(tb.gen_pos):
         p_pot = jnp.clip(P_pot / tb.baseMVA, tb.gen_p_min, tb.gen_p_max)
-        if tb.gen_box_only:
-            # Axis-aligned feasible regions (no sloped τ/ρ rows): the
-            # exact Euclidean projection is a per-coordinate clip — same
-            # minimizer as project_polytope_2d, at a fraction of the cost
-            # (tests/test_projection.py pins the equality).
-            p_g = jnp.clip(P_set_gen / tb.baseMVA, tb.gen_p_min,
-                           jnp.minimum(tb.gen_p_max, p_pot))
-            q_g = jnp.clip(Q_set_gen / tb.baseMVA, tb.gen_box_q_lo, tb.gen_box_q_hi)
-            dev_p = dev_p.at[tb.gen_pos].set(p_g)
-            dev_q = dev_q.at[tb.gen_pos].set(q_g)
-        else:
-            b = jnp.asarray(tb.gen_b_static).at[:, 2].set(p_pot)
-            pt = jnp.stack([P_set_gen, Q_set_gen], axis=-1) / tb.baseMVA
-            proj = project_polytope_2d(pt, tb.gen_A, b, tb.gen_pair)
-            dev_p = dev_p.at[tb.gen_pos].set(proj[:, 0])
-            dev_q = dev_q.at[tb.gen_pos].set(proj[:, 1])
+        pt = jnp.stack([P_set_gen, Q_set_gen], axis=-1) / tb.baseMVA
+        proj = tb.gen_project(pt, jnp.asarray(tb.gen_p_lo_row),
+                              jnp.minimum(tb.gen_p_hi_row, p_pot))
+        p_g, q_g = proj[:, 0], proj[:, 1]
     else:
-        p_pot = jnp.zeros(0, dtype=dt)
+        p_pot = p_g = q_g = jnp.zeros(0, dtype=dt)
 
-    # 3. Storage: project, then update SoC (devices.py:474-547).
+    # 3. Storage: project, then update SoC (devices.py:474-547).  Same
+    #    template with two sloped pairs; the dynamic SoC-rate rows (8, 9)
+    #    are axis-aligned p caps, folded into the box bounds.
     if len(tb.des_pos):
-        b = jnp.asarray(tb.des_b_static)
-        b = b.at[:, 8].set(-(soc - tb.des_soc_max) / (tb.delta_t * tb.des_eff))
-        b = b.at[:, 9].set(tb.des_eff * (soc - tb.des_soc_min) / tb.delta_t)
+        p_lo = jnp.maximum(tb.des_p_lo_row,
+                           (soc - tb.des_soc_max) / (tb.delta_t * tb.des_eff))
+        p_hi = jnp.minimum(tb.des_p_hi_row,
+                           tb.des_eff * (soc - tb.des_soc_min) / tb.delta_t)
         pt = jnp.stack([P_set_des, Q_set_des], axis=-1) / tb.baseMVA
-        proj = project_polytope_2d(pt, tb.des_A, b, tb.des_pair)
+        proj = tb.des_project(pt, p_lo, p_hi)
         p_d, q_d = proj[:, 0], proj[:, 1]
-        dev_p = dev_p.at[tb.des_pos].set(p_d)
-        dev_q = dev_q.at[tb.des_pos].set(q_d)
         # charging (p<=0): soc -= Δt·η·p ; discharging: soc -= Δt·p/η
         delta = jnp.where(p_d <= 0, tb.delta_t * tb.des_eff * p_d, tb.delta_t * p_d / tb.des_eff)
         soc_new = jnp.clip(soc - delta, tb.des_soc_min, tb.des_soc_max)
     else:
+        p_d = q_d = jnp.zeros(0, dtype=dt)
         soc_new = soc
 
     # 4. Capacitor banks: clip Q (devices.py:580-583).
-    if len(tb.cap_pos):
-        q_c = jnp.clip(Q_set_cap / tb.baseMVA, tb.cap_q_min, tb.cap_q_max)
-        dev_q = dev_q.at[tb.cap_pos].set(q_c)
+    q_c = (jnp.clip(Q_set_cap / tb.baseMVA, tb.cap_q_min, tb.cap_q_max)
+           if len(tb.cap_pos) else jnp.zeros(0, dtype=dt))
 
     # 5. OLTC: clip tap, write into the regulated branch (devices.py:622-626,
     #    simulator.py:570-576); the Y-bus below is rebuilt from the result.
+    #    Single-OLTC networks (all shipped ones) use a branchless select in
+    #    place of a 1-element scatter.
     tap_new = jnp.clip(tap_set, tb.oltc_tap_min, tb.oltc_tap_max)
-    tap_magn = jnp.asarray(tb.tap0).at[tb.oltc_branch].set(tap_new)
+    if tb.oltc_mask is not None:
+        tap_magn = jnp.where(tb.oltc_mask, tap_new[0], jnp.asarray(tb.tap0))
+    elif len(tb.oltc_pos):
+        tap_magn = jnp.asarray(tb.tap0).at[tb.oltc_branch].set(tap_new)
+    else:
+        tap_magn = jnp.asarray(tb.tap0)
 
     # 6. Bus injection totals (simulator.py:601-611); slack device injects 0
-    #    until measured post-solve.
-    bus_p = jnp.zeros(tb.n_bus, dtype=dt).at[tb.dev_bus].add(dev_p)
-    bus_q = jnp.zeros(tb.n_bus, dtype=dt).at[tb.dev_bus].add(dev_q)
+    #    until measured post-solve.  Scatter-free path: per-class values are
+    #    concatenated once in class order; bus totals are one one-hot matmul
+    #    (f32 — HIGHEST keeps the 0/1 products exact) or one scatter-add
+    #    (f64).  The device-ordered vectors are assembled AFTER the solve
+    #    (one static gather), when the measured slack injection is known.
+    zcap_p = jnp.zeros(len(tb.cap_pos), dtype=dt)
+    if tb.dev_perm is not None:
+        zero1 = jnp.zeros(1, dtype=dt)
+        vals_p = jnp.concatenate([zero1, p_l, p_g, p_d, zcap_p])
+        vals_q = jnp.concatenate([zero1, q_l, q_g, q_d, q_c])
+        if dt != np.float64:
+            hp = jax.lax.Precision.HIGHEST
+            bus_p = jnp.matmul(vals_p, tb.bus_mat, precision=hp)
+            bus_q = jnp.matmul(vals_q, tb.bus_mat, precision=hp)
+        else:
+            bus_p = jnp.zeros(tb.n_bus, dtype=dt).at[tb.concat_bus].add(vals_p)
+            bus_q = jnp.zeros(tb.n_bus, dtype=dt).at[tb.concat_bus].add(vals_q)
+    else:
+        dev_p = jnp.zeros(tb.n_dev, dtype=dt).at[tb.load_pos].set(p_l)
+        dev_q = jnp.zeros(tb.n_dev, dtype=dt).at[tb.load_pos].set(q_l)
+        if len(tb.gen_pos):
+            dev_p = dev_p.at[tb.gen_pos].set(p_g)
+            dev_q = dev_q.at[tb.gen_pos].set(q_g)
+        if len(tb.des_pos):
+            dev_p = dev_p.at[tb.des_pos].set(p_d)
+            dev_q = dev_q.at[tb.des_pos].set(q_d)
+        if len(tb.cap_pos):
+            dev_q = dev_q.at[tb.cap_pos].set(q_c)
+        bus_p = jnp.zeros(tb.n_bus, dtype=dt).at[tb.dev_bus].add(dev_p)
+        bus_q = jnp.zeros(tb.n_bus, dtype=dt).at[tb.dev_bus].add(dev_q)
 
     # 7. Admittance matrix + Newton-Raphson solve (xtol 1e-5,
     #    simulator.py:583-591), then nodal currents I = YV
@@ -542,15 +614,23 @@ def transition(
         nr = nr_solve(Yre, Yim, p_ns, q_ns, xtol=1e-5, lim_iter=100)
         i_re, i_im = cmatvec(Yre, Yim, nr.v_re, nr.v_im)
 
-    # 8. Measured slack injection (NaN → +inf, solve_load_flow.py:62-72).
+    # 8. Measured slack injection (NaN → +inf, solve_load_flow.py:62-72),
+    #    written branchlessly; the device-ordered vectors are one gather
+    #    over the class concatenation on the scatter-free path.
     s_sl_re = nr.v_re[0] * i_re[0] + nr.v_im[0] * i_im[0]
     s_sl_im = nr.v_im[0] * i_re[0] - nr.v_re[0] * i_im[0]
     s_sl_re = jnp.where(jnp.isnan(s_sl_re), jnp.inf, s_sl_re)
     s_sl_im = jnp.where(jnp.isnan(s_sl_im), jnp.inf, s_sl_im)
-    bus_p = bus_p.at[tb.slack_bus].set(s_sl_re)
-    bus_q = bus_q.at[tb.slack_bus].set(s_sl_im)
-    dev_p = dev_p.at[tb.slack_dev].set(s_sl_re)
-    dev_q = dev_q.at[tb.slack_dev].set(s_sl_im)
+    if tb.dev_perm is not None:
+        bus_p = jnp.where(tb.slack_bus_mask, s_sl_re, bus_p)
+        bus_q = jnp.where(tb.slack_bus_mask, s_sl_im, bus_q)
+        dev_p = jnp.concatenate([s_sl_re[None], p_l, p_g, p_d, zcap_p])[tb.dev_perm]
+        dev_q = jnp.concatenate([s_sl_im[None], q_l, q_g, q_d, q_c])[tb.dev_perm]
+    else:
+        bus_p = bus_p.at[tb.slack_bus].set(s_sl_re)
+        bus_q = bus_q.at[tb.slack_bus].set(s_sl_im)
+        dev_p = dev_p.at[tb.slack_dev].set(s_sl_re)
+        dev_q = dev_q.at[tb.slack_dev].set(s_sl_im)
 
     # 9. Branch flows.
     (ifr, ifi, itr, iti, p_from, q_from, p_to, q_to, s_signed) = branch_flows(
@@ -558,10 +638,17 @@ def transition(
     )
 
     # 10. Reward = −(energy loss + λ·constraint violations)
-    #     (simulator.py:700-745).
-    e_loss = jnp.sum(dev_p[tb.genload_pos])
-    if len(tb.rer_pos):
-        e_loss = e_loss + jnp.sum(jnp.maximum(0.0, p_pot[tb.rer_in_gen] - dev_p[tb.rer_pos]))
+    #     (simulator.py:700-745).  genload = loads + gens + slack, so the
+    #    class sums replace the gather; curtailment reads the projected
+    #    generator column through the static renewable mask.
+    if tb.dev_perm is not None:
+        e_loss = jnp.sum(p_l) + jnp.sum(p_g) + s_sl_re
+        if len(tb.rer_pos):
+            e_loss = e_loss + jnp.sum(jnp.maximum(0.0, p_pot - p_g) * tb.gen_rer_mask)
+    else:
+        e_loss = jnp.sum(dev_p[tb.genload_pos])
+        if len(tb.rer_pos):
+            e_loss = e_loss + jnp.sum(jnp.maximum(0.0, p_pot[tb.rer_in_gen] - dev_p[tb.rer_pos]))
     e_loss = e_loss * tb.delta_t
 
     v_magn = jnp.sqrt(nr.v_re * nr.v_re + nr.v_im * nr.v_im)

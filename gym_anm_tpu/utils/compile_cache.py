@@ -1,0 +1,50 @@
+"""Persistent (on-disk) XLA compilation cache.
+
+TPU compiles cost 20-40 s per program shape through the remote compile
+server (minutes for float64 programs).  The round-2 in-process cache
+(env/simulator.py) already dedupes same-network instances within one
+process; this enables JAX's on-disk compilation cache so a SECOND PROCESS
+on the same network skips the compile entirely (measured cold/warm pair in
+docs/performance.md).
+
+Called on first import of the compat tier (the interactive, compile-bound
+tier); harmless for the vec tier, which also benefits.  Respects an
+explicit user setting: if ``JAX_COMPILATION_CACHE_DIR`` is exported or
+``jax.config.jax_compilation_cache_dir`` was already set, nothing is
+overridden.
+"""
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "gym_anm_tpu", "xla_cache",
+)
+
+
+def enable_persistent_cache(path: str = None) -> str:
+    """Enable JAX's on-disk compilation cache (idempotent).
+
+    Returns the cache directory in use.
+    """
+    import jax
+
+    configured = jax.config.jax_compilation_cache_dir
+    if configured:
+        return configured
+    # CPU-forced runs (tests, compat-default scripts) skip the cache:
+    # XLA:CPU persists AOT executables whose recorded machine features can
+    # mismatch the (virtualized) host at reload — the loader then warns
+    # about possible SIGILL.  CPU compiles are fast anyway; the 20-40 s
+    # remote TPU compiles are the ones worth persisting.  Checked WITHOUT
+    # initializing the backend (default_backend() would pin the platform).
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in str(platforms).lower():
+        return None
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        path = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    path = path or _DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path

@@ -169,8 +169,8 @@ def _make_renewable_family_task(network, name, load_scale=1.0, scenario="default
         # time_factor) is f64, and scattering an f64 product into the f32
         # vars array trips JAX's dtype-promotion FutureWarning.
         loads = (-nominal_mw * load_scale * time_factor * noise).astype(s_t.dtype)
-        vars = jnp.zeros(n_vars, dtype=s_t.dtype).at[: spec.n_load].set(loads)
-        return vars, hour
+        zeros_tail = jnp.zeros(n_vars - spec.n_load, dtype=s_t.dtype)
+        return jnp.concatenate([loads, zeros_tail]), hour
 
     return VecTask(
         network=network, K=K, delta_t=delta_t, gamma=0.99, lamb=100,

@@ -1,0 +1,99 @@
+"""One-shot TPU verification drive (the /verify recipe, surfaces 2-3).
+
+Runs on the real TPU: vec-tier probes (action-bound edges, the ANM6 no-OLTC
+chord path, residual/iteration health) and a compat-tier smoke.  Prints
+PASS/FAIL per probe plus wall timings (the compat timing doubles as the
+persistent-compile-cache cold/warm measurement when run twice).
+
+Usage: python scripts/verify_tpu.py [--skip-compat]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, ok, detail=""):
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    return bool(ok)
+
+
+def vec_probes():
+    from gym_anm_tpu.vec import VecEnv, make_anm6easy_task, make_ieee33_multicap_task, make_ieee33_task
+
+    ok = True
+    B = 1024
+    for factory, name in ((make_ieee33_task, "ieee33"),
+                          (make_ieee33_multicap_task, "multicap17"),
+                          (make_anm6easy_task, "anm6easy")):
+        env = VecEnv(factory(), dtype=jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        t0 = time.time()
+        state, obs = jax.jit(jax.vmap(env.reset))(keys)
+        jax.block_until_ready(obs)
+        lo, hi = env.action_low, env.action_high
+
+        # Edge probes: all-low, all-high (caps at rating, tap at bound),
+        # then 30 random steps.  Genuine network collapse is VALID behavior
+        # (ANM6 terminates ~17% of lanes under aggressive random actions in
+        # f64 too — compat action-low is terminal with reward -20000), so
+        # the health invariant is: every lane is either converged
+        # (diff <= 1e-4) or flagged done; obs/rewards finite throughout.
+        step = jax.jit(jax.vmap(env.step))
+
+        def healthy(d, info, obs, r):
+            d = np.asarray(d)
+            diff = np.asarray(info["diff"])
+            live = ~d
+            live_ok = (diff[live] <= 1e-4).all() if live.any() else True
+            return (bool(live_ok) and np.isfinite(np.asarray(obs)).all()
+                    and np.isfinite(np.asarray(r)).all())
+
+        def detail(d, info):
+            d = np.asarray(d)
+            diff = np.asarray(info["diff"])
+            live_max = diff[~d].max() if (~d).any() else 0.0
+            return f"done={d.sum()}/{B} live-diff={live_max:.2e} it={np.asarray(info['n_iter']).max()}"
+
+        for probe, acts in (("low", jnp.broadcast_to(lo, (B, env.n_action))),
+                            ("high", jnp.broadcast_to(hi, (B, env.n_action)))):
+            state, obs, r, d, info = step(state, acts)
+            ok &= check(f"{name} action-{probe}", healthy(d, info, obs, r), detail(d, info))
+        # fresh reset for the random phase
+        state, obs = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(1), B))
+        for t in range(30):
+            k = jax.random.fold_in(jax.random.PRNGKey(5), t)
+            acts = lo + jax.random.uniform(k, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+            state, obs, r, d, info = step(state, acts)
+        ok &= check(f"{name} 30-step random", healthy(d, info, obs, r),
+                    detail(d, info) + f" {time.time()-t0:.1f}s")
+    return ok
+
+
+def compat_smoke():
+    t0 = time.time()
+    import gym_anm_tpu
+
+    env = gym_anm_tpu.compat.IEEE33Env()
+    obs, _ = env.reset(seed=0)
+    a = env.action_space.sample()
+    obs2, r, term, _, _ = env.step(a)
+    dt = time.time() - t0
+    ok = check("compat IEEE33Env reset+step", np.isfinite(obs2).all() and np.isfinite(r),
+               f"r={r:.4f} wall={dt:.1f}s backend={jax.default_backend()}")
+    print(f"COMPAT_WALL_SECONDS {dt:.1f}")
+    return ok
+
+
+if __name__ == "__main__":
+    ok = vec_probes()
+    if "--skip-compat" not in sys.argv:
+        ok = compat_smoke() and ok
+    print("VERIFY", "OK" if ok else "FAILED")
+    sys.exit(0 if ok else 1)

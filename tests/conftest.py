@@ -25,11 +25,14 @@ REFERENCE_PATH = "/root/reference"
 def _install_reference_stubs():
     """Make the reference package importable without its optional deps.
 
-    cvxpy is replaced by a numpy/scipy-backed stub that actually solves the
-    tiny projection QPs the reference devices build, so that reference
-    rollouts through generator/storage devices still work for parity tests.
+    cvxpy is replaced by :mod:`tests.minicvxpy` — a scipy-backed modeling
+    layer that actually SOLVES everything the reference builds: the
+    per-device projection QPs (so reference rollouts work for golden
+    parity) and the MPC DC-OPF LP (so the reference MPC agents execute
+    live for action-level parity, tests/test_mpc_reference_parity.py).
 
-    Two interchangeable QP backends (cv._qp_backend, default "enumeration"):
+    Two interchangeable projection-QP backends (cv._qp_backend, default
+    "enumeration"):
 
     - "enumeration": exact closed-form candidate enumeration — fast, but
       the same algorithm family as gym_anm_tpu.physics.projection, so
@@ -40,113 +43,9 @@ def _install_reference_stubs():
       tests.conftest.qp_backend("slsqp")).
     """
     if "cvxpy" not in sys.modules:
-        import numpy as np
+        from . import minicvxpy
 
-        cv = types.ModuleType("cvxpy")
-        cv._qp_backend = "enumeration"
-
-        def _project_slsqp(point, G, h):
-            """Euclidean projection onto {x : Gx <= h} via scipy SLSQP."""
-            from scipy.optimize import minimize
-
-            ok = np.isfinite(h) & np.all(np.isfinite(G), axis=1) & (np.abs(G).sum(1) > 0)
-            G, h = G[ok], h[ok]
-            res = minimize(
-                lambda x: ((x - point) ** 2).sum(),
-                x0=point,
-                jac=lambda x: 2.0 * (x - point),
-                method="SLSQP",
-                constraints=[{"type": "ineq", "fun": lambda x: h - G @ x, "jac": lambda x: -G}],
-                options={"ftol": 1e-16, "maxiter": 500},
-            )
-            return res.x
-
-        def _project_exact(point, G, h):
-            """Exact Euclidean projection onto {x : Gx <= h} in 2D (numpy;
-            independent of the package's JAX implementation)."""
-            ok = np.isfinite(h) & np.all(np.isfinite(G), axis=1) & (np.abs(G).sum(1) > 0)
-            G, h = G[ok], h[ok]
-            tol = 1e-11 * (1.0 + np.abs(h))
-
-            def feasible(c):
-                return np.all(G @ c - h <= tol)
-
-            cands = [point]
-            for k in range(len(G)):
-                a, bb = G[k], h[k]
-                n2 = a @ a
-                cands.append(point - a * ((a @ point - bb) / n2))
-            for k in range(len(G)):
-                for l in range(k + 1, len(G)):
-                    M = np.array([G[k], G[l]])
-                    det = np.linalg.det(M)
-                    if abs(det) > 1e-30:
-                        cands.append(np.linalg.solve(M, np.array([h[k], h[l]])))
-            best, best_d = None, np.inf
-            for c in cands:
-                if np.all(np.isfinite(c)) and feasible(c):
-                    d = ((c - point) ** 2).sum()
-                    if d < best_d:
-                        best, best_d = c, d
-            return best
-
-        class _Var:
-            __array_ufunc__ = None  # force numpy to defer to __rmatmul__
-
-            def __init__(self, n):
-                self.n = n
-                self.value = None
-
-            def __sub__(self, point):
-                return _SumSquares(self, point)
-
-            def __rmatmul__(self, G):
-                return _GX(G, self)
-
-        class _SumSquares:
-            def __init__(self, var, point):
-                self.var, self.point = var, point
-
-        class _Constraint:
-            def __init__(self, G, var, h):
-                self.G, self.var, self.h = G, var, h
-
-        class _GX:
-            def __init__(self, G, var):
-                self.G, self.var = G, var
-
-            def __le__(self, h):
-                return _Constraint(self.G, self.var, h)
-
-        class _Minimize:
-            def __init__(self, expr):
-                self.expr = expr
-
-        class _Problem:
-            def __init__(self, objective, constraints=()):
-                self.objective = objective
-                self.constraints = constraints
-
-            def solve(self, **kwargs):
-                expr = self.objective.expr
-                var = expr.var
-                point = np.asarray(expr.point, dtype=float)
-                c = self.constraints[0]
-                proj = {"enumeration": _project_exact, "slsqp": _project_slsqp}[
-                    sys.modules["cvxpy"]._qp_backend
-                ]
-                x = proj(point, np.asarray(c.G, float), np.asarray(c.h, float))
-                var.value = x
-                self.status = "optimal"
-                return float(((x - point) ** 2).sum())
-
-        cv.Variable = lambda n=1, **k: _Var(n)
-        cv.Parameter = lambda *a, **k: None
-        cv.Problem = _Problem
-        cv.Minimize = _Minimize
-        cv.sum_squares = lambda ss: ss
-
-        sys.modules["cvxpy"] = cv
+        sys.modules["cvxpy"] = minicvxpy
 
     for name in ("websocket_server", "websocket", "requests"):
         if name not in sys.modules:

@@ -1,0 +1,481 @@
+"""A minimal cvxpy-compatible modeling layer backed by scipy.
+
+Covers exactly the expression surface the reference gym-anm builds, so the
+upstream package can be imported AND EXECUTED without the real cvxpy:
+
+* the per-device projection QPs (``devices.py:301-302, 519-520``):
+  ``Variable(2)``, ``sum_squares(x - point)``, ``G @ x <= h`` — solved by an
+  exact 2-D candidate enumeration or scipy SLSQP (switchable backend, see
+  conftest.qp_backend);
+* the MPC DC-OPF (``agents/mpc.py:161-393``): shaped Variables and
+  Parameters, scalar affine expression algebra, ==/<= constraints,
+  ``abs``/``maximum`` hinge terms in the objective — epigraph-reformulated
+  and solved as one LP by scipy.optimize.linprog (HiGHS).
+
+Only the features the reference exercises are implemented; anything else
+raises so silent mis-modeling can't happen.
+"""
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# symbols
+# ---------------------------------------------------------------------------
+class Leaf:
+    """Shared machinery of Variable and Parameter (scalar-indexable)."""
+
+    __array_ufunc__ = None  # force numpy scalars to defer to our r-ops
+
+    def __init__(self, shape=(), nonneg=False):
+        if isinstance(shape, int):
+            shape = (shape,)
+        self.shape = tuple(shape)
+        self.nonneg = nonneg
+        self.value = None
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape)) if self.shape else 1
+
+    def _expr(self, flat_idx=0):
+        return Expr({(self, flat_idx): 1.0})
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple) and len(idx) == 2 and isinstance(idx[0], slice):
+            # param[:, i] — a column view of a 2-D leaf.
+            col = idx[1]
+            return _ColView(self, col)
+        if isinstance(idx, (int, np.integer)):
+            if len(self.shape) > 1:
+                raise NotImplementedError("scalar index into multi-dim leaf")
+            return self._expr(int(idx))
+        raise NotImplementedError(f"unsupported index {idx!r}")
+
+    # scalar arithmetic (used on Variable(nonneg=True) scalars)
+    def __add__(self, o):
+        return self._expr() + o
+
+    def __radd__(self, o):
+        return self._expr() + o
+
+    def __sub__(self, o):
+        if isinstance(o, np.ndarray):  # Variable(2) - point -> projection QP
+            return _VarMinusPoint(self, o)
+        return self._expr() - o
+
+    def __rsub__(self, o):
+        return -(self._expr()) + o
+
+    def __neg__(self):
+        return -(self._expr())
+
+    def __mul__(self, o):
+        return self._expr() * o
+
+    def __rmul__(self, o):
+        return self._expr() * o
+
+    def __truediv__(self, o):
+        return self._expr() / o
+
+    def __rmatmul__(self, G):
+        return _GX(np.asarray(G, float), self)
+
+
+class Variable(Leaf):
+    def __init__(self, shape=(), nonneg=False, **kwargs):
+        super().__init__(shape, nonneg)
+
+
+class Parameter(Leaf):
+    def __init__(self, shape=(), nonneg=False, **kwargs):
+        super().__init__(shape, nonneg)
+
+    @property
+    def value(self):
+        return self._value
+
+    @value.setter
+    def value(self, v):
+        self._value = None if v is None else np.asarray(v, float)
+
+
+class _ColView:
+    """``param[:, i]`` (or a column of a 2-D Variable) — indexable by row."""
+
+    def __init__(self, leaf, col):
+        self.leaf, self.col = leaf, col
+
+    def __getitem__(self, row):
+        ncol = self.leaf.shape[1]
+        return self.leaf._expr(int(row) * ncol + int(self.col))
+
+
+# ---------------------------------------------------------------------------
+# scalar affine expressions
+# ---------------------------------------------------------------------------
+def _as_expr(x):
+    if isinstance(x, Expr):
+        return x
+    if isinstance(x, Leaf):
+        if x.size != 1:
+            raise NotImplementedError("vector leaf used as scalar")
+        return x._expr()
+    if np.isscalar(x) or isinstance(x, np.generic):
+        return Expr({}, float(x))
+    return NotImplemented
+
+
+class Expr:
+    """const + Σ coef·symbol[idx]  (symbols: Variables and Parameters)."""
+
+    __array_ufunc__ = None
+
+    def __init__(self, lin=None, const=0.0):
+        self.lin = dict(lin or {})
+        self.const = float(const)
+
+    def _combine(self, other, sign):
+        o = _as_expr(other)
+        if o is NotImplemented:
+            return NotImplemented
+        lin = dict(self.lin)
+        for k, v in o.lin.items():
+            lin[k] = lin.get(k, 0.0) + sign * v
+        return Expr(lin, self.const + sign * o.const)
+
+    def __add__(self, o):
+        if isinstance(o, (MaxExpr, SumExpr)):
+            return o + self
+        return self._combine(o, +1.0)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._combine(o, -1.0)
+
+    def __rsub__(self, o):
+        return (-self) + o
+
+    def __neg__(self):
+        return Expr({k: -v for k, v in self.lin.items()}, -self.const)
+
+    def __mul__(self, s):
+        s = float(s)
+        return Expr({k: s * v for k, v in self.lin.items()}, s * self.const)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        return self * (1.0 / float(s))
+
+    def __le__(self, o):
+        return Constraint(self._combine(o, -1.0), "ineq")
+
+    def __ge__(self, o):
+        return Constraint(_as_expr(o)._combine(self, -1.0), "ineq")
+
+    def __eq__(self, o):  # noqa: A003 - cvxpy semantics
+        return Constraint(self._combine(o, -1.0), "eq")
+
+    __hash__ = None
+
+
+class Constraint:
+    """expr <= 0 ('ineq') or expr == 0 ('eq')."""
+
+    def __init__(self, expr, kind):
+        self.expr, self.kind = expr, kind
+
+
+class MaxExpr:
+    """max over affine branches (convex; objective use only)."""
+
+    __array_ufunc__ = None
+
+    def __init__(self, branches):
+        self.branches = [b if isinstance(b, Expr) else _as_expr(b) for b in branches]
+
+    def __add__(self, o):
+        if isinstance(o, (MaxExpr, SumExpr)):
+            return SumExpr() + self + o
+        return MaxExpr([b + o for b in self.branches])
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return MaxExpr([b - o for b in self.branches])
+
+    def __mul__(self, s):
+        s = float(s)
+        if s < 0:
+            raise ValueError("negative coefficient on a max term is non-convex")
+        return SumExpr(hinges=[(s, self)])
+
+    __rmul__ = __mul__
+
+
+class SumExpr:
+    """affine + Σ coefᵢ · maxᵢ(...) — the epigraph-ready objective form."""
+
+    __array_ufunc__ = None
+
+    def __init__(self, affine=None, hinges=None):
+        self.affine = affine if affine is not None else Expr()
+        self.hinges = list(hinges or [])
+
+    def __add__(self, o):
+        if isinstance(o, SumExpr):
+            return SumExpr(self.affine + o.affine, self.hinges + o.hinges)
+        if isinstance(o, MaxExpr):
+            return SumExpr(self.affine, self.hinges + [(1.0, o)])
+        return SumExpr(self.affine + o, self.hinges)
+
+    __radd__ = __add__
+
+    def __mul__(self, s):
+        s = float(s)
+        if s < 0 and self.hinges:
+            raise ValueError("negative coefficient on a max term is non-convex")
+        return SumExpr(self.affine * s, [(s * c, m) for c, m in self.hinges])
+
+    __rmul__ = __mul__
+
+
+def maximum(*args):
+    branches = []
+    for a in args:
+        if isinstance(a, MaxExpr):
+            branches += a.branches
+        else:
+            branches.append(a)
+    return MaxExpr(branches)
+
+
+def abs(x):  # noqa: A001 - cvxpy namespace
+    e = _as_expr(x)
+    return MaxExpr([e, -e])
+
+
+def sum(args):  # noqa: A001
+    out = Expr()
+    for a in args:
+        out = out + a
+    return out
+
+
+# ---------------------------------------------------------------------------
+# projection-QP markers (devices.py surface)
+# ---------------------------------------------------------------------------
+class _VarMinusPoint:
+    def __init__(self, var, point):
+        self.var, self.point = var, np.asarray(point, float)
+
+
+class _SumSquares:
+    def __init__(self, inner):
+        if not isinstance(inner, _VarMinusPoint):
+            raise NotImplementedError("sum_squares only supports (Variable - point)")
+        self.var, self.point = inner.var, inner.point
+
+
+def sum_squares(x):
+    return _SumSquares(x)
+
+
+class _GX:
+    def __init__(self, G, var):
+        self.G, self.var = G, var
+
+    def __le__(self, h):
+        return _QPConstraint(self.G, self.var, np.asarray(h, float))
+
+
+class _QPConstraint:
+    def __init__(self, G, var, h):
+        self.G, self.var, self.h = G, var, h
+
+
+class Minimize:
+    def __init__(self, expr):
+        self.expr = expr
+
+
+# ---------------------------------------------------------------------------
+# solving
+# ---------------------------------------------------------------------------
+def _fold_params(expr):
+    """Split an Expr into ({(var, idx): coef}, const) with Parameters
+    substituted by their current values."""
+    lin, const = {}, expr.const
+    for (leaf, idx), coef in expr.lin.items():
+        if isinstance(leaf, Parameter):
+            if leaf.value is None:
+                raise ValueError("Parameter used before a value was assigned")
+            const += coef * float(np.asarray(leaf.value).flat[idx])
+        else:
+            lin[(leaf, idx)] = lin.get((leaf, idx), 0.0) + coef
+    return lin, const
+
+
+def _project_slsqp(point, G, h):
+    """Euclidean projection onto {x : Gx <= h} via scipy SLSQP — an
+    iterative SQP method, algorithm-family independent of the package's
+    shipped projection (used by the end-to-end QP-validation parity test)."""
+    from scipy.optimize import minimize
+
+    ok = np.isfinite(h) & np.all(np.isfinite(G), axis=1) & (np.abs(G).sum(1) > 0)
+    G, h = G[ok], h[ok]
+    res = minimize(
+        lambda x: ((x - point) ** 2).sum(),
+        x0=point,
+        jac=lambda x: 2.0 * (x - point),
+        method="SLSQP",
+        constraints=[{"type": "ineq", "fun": lambda x: h - G @ x, "jac": lambda x: -G}],
+        options={"ftol": 1e-16, "maxiter": 500},
+    )
+    return res.x
+
+
+def _project_exact(point, G, h):
+    """Exact Euclidean projection onto {x : Gx <= h} in 2D (numpy candidate
+    enumeration; independent of the package's JAX implementation)."""
+    ok = np.isfinite(h) & np.all(np.isfinite(G), axis=1) & (np.abs(G).sum(1) > 0)
+    G, h = G[ok], h[ok]
+    tol = 1e-11 * (1.0 + np.abs(h))
+
+    def feasible(c):
+        return np.all(G @ c - h <= tol)
+
+    cands = [point]
+    for k in range(len(G)):
+        a, bb = G[k], h[k]
+        n2 = a @ a
+        cands.append(point - a * ((a @ point - bb) / n2))
+    for k in range(len(G)):
+        for l in range(k + 1, len(G)):
+            M = np.array([G[k], G[l]])
+            det = np.linalg.det(M)
+            if np.abs(det) > 1e-30:
+                cands.append(np.linalg.solve(M, np.array([h[k], h[l]])))
+    best, best_d = None, np.inf
+    for c in cands:
+        if np.all(np.isfinite(c)) and feasible(c):
+            d = ((c - point) ** 2).sum()
+            if d < best_d:
+                best, best_d = c, d
+    return best
+
+
+# Pluggable 2-D projection backend (switch with conftest.qp_backend(...)).
+_qp_backend = "enumeration"
+_qp_backends = {"enumeration": _project_exact, "slsqp": _project_slsqp}
+
+
+class Problem:
+    def __init__(self, objective, constraints=()):
+        self.objective = objective
+        self.constraints = list(constraints)
+        self.status = None
+
+    # -- projection QP path (devices.py) ------------------------------------
+    def _solve_projection(self):
+        obj = self.objective.expr
+        cons = [c for c in self.constraints if isinstance(c, _QPConstraint)]
+        G = cons[0].G if cons else np.zeros((0, obj.point.size))
+        h = cons[0].h if cons else np.zeros(0)
+        x = _qp_backends[_qp_backend](obj.point, np.asarray(G, float), np.asarray(h, float))
+        obj.var.value = x
+        self.status = "optimal"
+        return float(((x - obj.point) ** 2).sum())
+
+    # -- LP path (agents/mpc.py) --------------------------------------------
+    def _solve_lp(self, **kwargs):
+        from scipy.optimize import linprog
+        from scipy.sparse import coo_matrix
+
+        obj = self.objective.expr
+        if isinstance(obj, (Expr, MaxExpr)):
+            obj = SumExpr() + obj
+        if not isinstance(obj, SumExpr):
+            raise NotImplementedError(f"objective {type(obj)}")
+
+        cols = {}
+
+        def col(key):
+            if key not in cols:
+                cols[key] = len(cols)
+            return cols[key]
+
+        rows_eq, rows_ub = [], []  # (lin, rhs)
+
+        for con in self.constraints:
+            if con is True:  # degenerate float == float collapses to a bool
+                continue
+            if not isinstance(con, Constraint):
+                raise NotImplementedError(f"constraint {type(con)}")
+            lin, const = _fold_params(con.expr)
+            for key in lin:
+                col(key)
+            (rows_eq if con.kind == "eq" else rows_ub).append((lin, -const))
+
+        c_lin, c_const = _fold_params(obj.affine)
+        for key in c_lin:
+            col(key)
+
+        hinge_cols = []
+        for coef, mx in obj.hinges:
+            if coef < 0:
+                raise ValueError("negative hinge coefficient")
+            t = Variable()  # epigraph auxiliary
+            tcol = col((t, 0))
+            hinge_cols.append((coef, tcol))
+            for br in mx.branches:
+                lin, const = _fold_params(br)
+                for key in lin:
+                    col(key)
+                lin = dict(lin)
+                lin[(t, 0)] = lin.get((t, 0), 0.0) - 1.0
+                rows_ub.append((lin, -const))
+
+        n = len(cols)
+        c = np.zeros(n)
+        for key, v in c_lin.items():
+            c[cols[key]] += v
+        for coef, tcol in hinge_cols:
+            c[tcol] += coef
+
+        def assemble(rows):
+            data, ri, ci, rhs = [], [], [], []
+            for r, (lin, b) in enumerate(rows):
+                for key, v in lin.items():
+                    ri.append(r)
+                    ci.append(cols[key])
+                    data.append(v)
+                rhs.append(b)
+            return coo_matrix((data, (ri, ci)), shape=(len(rows), n)), np.asarray(rhs)
+
+        A_eq, b_eq = assemble(rows_eq) if rows_eq else (None, None)
+        A_ub, b_ub = assemble(rows_ub) if rows_ub else (None, None)
+
+        bounds = [(0.0, None) if leaf.nonneg else (None, None) for (leaf, _i) in cols]
+
+        res = linprog(c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+                      bounds=bounds, method="highs")
+        if not res.success:
+            self.status = "infeasible"
+            return None
+
+        for (leaf, idx), j in cols.items():
+            if isinstance(leaf, Variable):
+                if leaf.value is None:
+                    leaf.value = np.zeros(leaf.shape) if leaf.shape else np.zeros(())
+                np.asarray(leaf.value).flat[idx] = res.x[j]
+        self.status = "optimal"
+        return float(res.fun + c_const)
+
+    def solve(self, **kwargs):
+        if isinstance(self.objective.expr, _SumSquares):
+            return self._solve_projection()
+        return self._solve_lp(**kwargs)

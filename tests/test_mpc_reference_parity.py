@@ -1,0 +1,96 @@
+"""Action-level parity of the MPC agents against the LIVE reference MPC.
+
+Round-2 review flagged that the reference's cvxpy DC-OPF
+(``gym_anm/agents/mpc.py:161-393``) had never been executed — the repo's
+HiGHS-LP MPC was only validated against its own constraints.  The cvxpy
+stub (tests/minicvxpy.py) now models the full DC-OPF surface (shaped
+Variables/Parameters, affine constraints, abs/maximum hinge objectives) and
+solves it as one epigraph LP, so the reference ``MPCAgentConstant`` /
+``MPCAgentPerfect`` run live here and every stage-0 action is compared.
+
+Both stacks step their envs in LOCKSTEP on the reference agent's action
+(keeping the two grid states identical to golden-parity tolerance), while
+each agent plans from its OWN env's state — so any formulation drift in
+the repo's LP (B matrix, SoC recursion, epigraph, discounting) shows up as
+an action mismatch on some step.
+"""
+
+import numpy as np
+import pytest
+
+from .conftest import requires_reference
+
+N_STEPS = 22
+ATOL = 1e-6
+
+
+def _lockstep_compare(ref_agent_cls, our_agent_cls, planning_steps, seed=3):
+    import gym_anm as ref_pkg  # noqa: F401  (stubs installed by fixture)
+    from gym_anm.envs.anm6_env.anm6_easy import ANM6Easy as RefEnv
+
+    from gym_anm_tpu.agents import MPCAgentConstant, MPCAgentPerfect  # noqa: F401
+    from gym_anm_tpu.compat import ANM6Easy
+
+    ref_env, our_env = RefEnv(), ANM6Easy()
+    ref_env.reset(seed=seed)
+    our_env.reset(seed=seed)
+
+    ref_agent = ref_agent_cls(ref_env.simulator, ref_env.action_space,
+                              ref_env.gamma, safety_margin=0.9,
+                              planning_steps=planning_steps)
+    our_agent = our_agent_cls(our_env.simulator, our_env.action_space,
+                              our_env.gamma, safety_margin=0.9,
+                              planning_steps=planning_steps)
+
+    worst = 0.0
+    for t in range(N_STEPS):
+        a_ref = ref_agent.act(ref_env)
+        a_our = our_agent.act(our_env)
+        worst = max(worst, float(np.abs(a_ref - a_our).max()))
+        assert np.allclose(a_our, a_ref, atol=ATOL), (
+            f"step {t}: ours {a_our} vs reference {a_ref}")
+        # Advance BOTH envs on the reference action (keeps states aligned).
+        _, _, term_r, _, _ = ref_env.step(a_ref)
+        _, _, term_o, _, _ = our_env.step(a_ref)
+        assert term_r == term_o
+        if term_r:
+            ref_env.reset(seed=seed + 1)
+            our_env.reset(seed=seed + 1)
+    return worst
+
+
+@requires_reference
+def test_reference_mpc_executes(reference):
+    """The reference DC-OPF actually solves through the cvxpy stub (status
+    'optimal', finite actions) — the formulation is exercised live."""
+    from gym_anm.agents import MPCAgentConstant as RefConstant
+    from gym_anm.envs.anm6_env.anm6_easy import ANM6Easy as RefEnv
+
+    env = RefEnv()
+    env.reset(seed=1)
+    agent = RefConstant(env.simulator, env.action_space, env.gamma,
+                        safety_margin=0.9, planning_steps=3)
+    a = agent.act(env)
+    assert agent.dc_opf.status == "optimal"
+    assert a.shape == env.action_space.shape
+    assert np.all(np.isfinite(a))
+    assert env.action_space.contains(a.astype(np.float64))
+
+
+@requires_reference
+@pytest.mark.parametrize("planning_steps", [1, 4])
+def test_mpc_constant_action_parity(reference, planning_steps):
+    from gym_anm.agents import MPCAgentConstant as RefConstant
+
+    from gym_anm_tpu.agents import MPCAgentConstant
+
+    _lockstep_compare(RefConstant, MPCAgentConstant, planning_steps)
+
+
+@requires_reference
+def test_mpc_perfect_action_parity(reference):
+    from gym_anm.agents import MPCAgentPerfect as RefPerfect
+
+    from gym_anm_tpu.agents import MPCAgentPerfect
+
+    _lockstep_compare(RefPerfect, MPCAgentPerfect, planning_steps=4)

@@ -91,54 +91,140 @@ def test_batched_shapes():
             np.testing.assert_allclose(out[i, j], ref, atol=1e-6)
 
 
-def test_box_only_clip_path_equals_full_projection():
-    """Generators WITHOUT flexibility data (no P+/Q± columns) have purely
-    axis-aligned feasible regions; make_tables flags such networks box-only
-    and the transition projects by clipping — which must equal the full
-    polytope projection exactly (the axis-aligned Euclidean projection IS
-    the per-coordinate clip).  (The shipped renewable family does NOT
-    qualify — its gens carry sloped tau rows — so this uses a synthetic
-    network.)"""
-    import jax
-    import jax.numpy as jnp
+def _slope2_projector_for(A, b):
+    """Bind make_box_slopes_projector to one generator-template polytope
+    (rows [-p, p, p_pot, -q, q, upper-slope, lower-slope])."""
+    from gym_anm_tpu.physics.projection import make_box_slopes_projector
 
-    from gym_anm_tpu.networks import anm6_network
+    tau1, rho1 = -A[5, 0], b[5]      # [-τ₁, 1]·x ≤ ρ₁  →  q ≤ τ₁p + ρ₁
+    tau2, rho2 = A[6, 0], -b[6]      # [ τ₂,-1]·x ≤ -ρ₂ →  q ≥ τ₂p + ρ₂
+    act_u = np.isfinite(tau1) & np.isfinite(rho1)
+    act_l = np.isfinite(tau2) & np.isfinite(rho2)
+    bound = lambda v, s: np.asarray([v if np.isfinite(v) else s * np.inf])
+    proj = make_box_slopes_projector(
+        bound(-b[3], -1), bound(b[4], +1),
+        uppers=[(np.asarray([tau1 if act_u else 0.0]),
+                 np.asarray([rho1 if act_u else 0.0]), np.asarray([act_u]))],
+        lowers=[(np.asarray([tau2 if act_l else 0.0]),
+                 np.asarray([rho2 if act_l else 0.0]), np.asarray([act_l]))],
+    )
+    p_lo = bound(-b[0], -1)
+    p_hi = np.minimum(bound(b[1], +1), bound(b[2], +1))
+    return lambda pt: proj(jnp.asarray(pt)[None, :], jnp.asarray(p_lo), jnp.asarray(p_hi))[0]
+
+
+def test_box_slopes_projector_matches_enumeration():
+    """The specialized box+2-slope projector (the hot-path generator
+    projection) must agree with the general candidate enumeration on random
+    generator polytopes — both are exact, so float64 agreement is ~1e-12."""
+    rng = np.random.default_rng(11)
+    pair = make_pair_indices(7)
+    worst = 0.0
+    for _ in range(300):
+        A, b = _random_gen_polytope(rng)
+        b[2] = rng.uniform(0, b[1])  # a live p_pot row
+        point = rng.uniform(-2, 2, 2)
+        general = np.asarray(project_polytope_2d(jnp.asarray(point), jnp.asarray(A), jnp.asarray(b), pair))
+        fast = np.asarray(_slope2_projector_for(A, b)(point))
+        worst = max(worst, np.abs(general - fast).max())
+    assert worst < 1e-9
+
+
+def test_box_slopes_projector_edge_cases():
+    """Inactive rows (NaN/inf), degenerate zero slopes, and empty regions
+    behave exactly like the enumeration (which returns the unprojected
+    point when no candidate is feasible)."""
+    pair = make_pair_indices(7)
+    rng = np.random.default_rng(5)
+    cases = []
+    # NaN flexibility rows (box-only device)
+    A0 = np.array([[-1, 0], [1, 0], [1, 0], [0, -1], [0, 1],
+                   [np.nan, 1], [np.nan, -1]], float)
+    b0 = np.array([0.0, 1.0, 0.7, 0.5, 0.5, np.nan, np.nan])
+    cases.append((A0, b0))
+    # zero-slope flexibility rows (extra q bounds)
+    A1 = np.array([[-1, 0], [1, 0], [1, 0], [0, -1], [0, 1], [0.0, 1], [0.0, -1]], float)
+    b1 = np.array([0.0, 1.0, 0.9, 1.0, 1.0, 0.3, 0.2])
+    cases.append((A1, b1))
+    # empty region: contradictory zero-slope rows (q <= 0.1 and q >= 0.2)
+    A2 = A1.copy()
+    b2 = np.array([0.0, 1.0, 0.9, 1.0, 1.0, 0.1, -0.2])
+    cases.append((A2, b2))
+    # empty box: p_pot below p_min
+    A3 = A0.copy()
+    b3 = np.array([-0.5, 1.0, 0.2, 0.5, 0.5, np.nan, np.nan])
+    cases.append((A3, b3))
+    # unbounded q sides
+    A4 = np.array([[-1, 0], [1, 0], [1, 0], [0, -1], [0, 1], [-0.5, 1], [0.5, -1]], float)
+    b4 = np.array([0.0, 2.0, 1.5, np.inf, np.inf, 1.0, -(-1.0)])
+    cases.append((A4, b4))
+    for A, b in cases:
+        for _ in range(25):
+            point = rng.uniform(-3, 3, 2)
+            general = np.asarray(project_polytope_2d(jnp.asarray(point), jnp.asarray(A), jnp.asarray(b), pair))
+            fast = np.asarray(_slope2_projector_for(A, b)(point))
+            np.testing.assert_allclose(fast, general, atol=1e-9,
+                                       err_msg=f"A={A}, b={b}, point={point}")
+
+
+def test_box_slopes_batched_matches_single_lane():
+    """vmap dispatches to the batch-minor [G, B] kernel — its results must
+    be identical to the per-lane form."""
+    import jax
+
+    from gym_anm_tpu.networks import create_multi_capacitor_network, anm6_network
     from gym_anm_tpu.physics.transition import make_tables
     from gym_anm_tpu.specs.network import load_network
 
-    N = None
-    box_net = {
-        "baseMVA": 100,
-        "bus": np.array([[0, 0, 132, 1.0, 1.0], [1, 1, 33, 1.1, 0.9]]),
-        "branch": np.array([[0, 1, 0.01, 0.1, 0.0, 999, 1, 0]]),
-        "device": np.array(
-            [
-                [0, 0, 0, N, 200, -200, 200, -200] + [N] * 7,
-                [1, 1, 2, N, 30, 0, 20, -20] + [N] * 7,   # no P+/Q± data
-                [2, 1, 1, N, 50, 0, 25, -15] + [N] * 7,
-            ],
-            dtype=object,
-        ),
-    }
-    spec = load_network(box_net)
-    tb = make_tables(spec, 1.0, 100, dtype=jnp.float64)
-    assert tb.gen_box_only, "gens without flexibility data -> box-only"
+    rng = np.random.default_rng(3)
+    for network, delta_t in ((create_multi_capacitor_network(), 1.0), (anm6_network, 0.25)):
+        spec = load_network(network)
+        tb = make_tables(spec, delta_t, 100, dtype=jnp.float64)
+        G = len(tb.gen_pos)
+        B = 17
+        pts = jnp.asarray(rng.uniform(-1, 1, (B, G, 2)))
+        p_hi = jnp.asarray(rng.uniform(0, 1, (B, G)))
+        p_lo = jnp.asarray(np.broadcast_to(tb.gen_p_lo_row, (B, G)))
+        batched = jax.vmap(tb.gen_project)(pts, p_lo, p_hi)
+        single = jnp.stack([tb.gen_project(pts[i], p_lo[i], p_hi[i]) for i in range(B)])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(single), atol=1e-12)
 
-    rng = np.random.RandomState(0)
-    n_gen = len(tb.gen_pos)
-    for _ in range(20):
-        pt = rng.uniform(-2, 2, (n_gen, 2))
-        p_pot = jnp.asarray(rng.uniform(0, 1, n_gen))
-        b = jnp.asarray(tb.gen_b_static).at[:, 2].set(
-            jnp.clip(p_pot, tb.gen_p_min, tb.gen_p_max))
-        full = project_polytope_2d(jnp.asarray(pt), tb.gen_A, b, tb.gen_pair)
-        clip_p = np.clip(pt[:, 0], tb.gen_p_min,
-                         np.minimum(tb.gen_p_max, np.asarray(b)[:, 2]))
-        clip_q = np.clip(pt[:, 1], tb.gen_box_q_lo, tb.gen_box_q_hi)
-        np.testing.assert_allclose(np.asarray(full[:, 0]), clip_p, atol=1e-12)
-        np.testing.assert_allclose(np.asarray(full[:, 1]), clip_q, atol=1e-12)
 
-    # ANM6 generators DO have sloped rows -> the flag must stay off.
-    spec6 = load_network(anm6_network)
-    tb6 = make_tables(spec6, 0.25, 100, dtype=jnp.float64)
-    assert not tb6.gen_box_only
+def test_transition_projectors_match_enumeration_on_shipped_networks():
+    """The bound gen/des projectors in GridTables agree with the general
+    enumeration over the SHIPPED polytopes (multicap gens with sloped rows,
+    ANM6 gens + storage) at random set-points, potentials, and SoCs."""
+    from gym_anm_tpu.networks import create_multi_capacitor_network, anm6_network
+    from gym_anm_tpu.physics.transition import make_tables
+    from gym_anm_tpu.specs.network import load_network
+
+    rng = np.random.default_rng(42)
+    for network, delta_t in ((create_multi_capacitor_network(), 1.0), (anm6_network, 0.25)):
+        spec = load_network(network)
+        tb = make_tables(spec, delta_t, 100, dtype=jnp.float64)
+        G = len(tb.gen_pos)
+        for _ in range(30):
+            pt = jnp.asarray(rng.uniform(-2, 2, (G, 2)))
+            p_pot = jnp.clip(jnp.asarray(rng.uniform(0, 1, G)), tb.gen_p_min, tb.gen_p_max)
+            b = jnp.asarray(tb.gen_b_static).at[:, 2].set(p_pot)
+            general = project_polytope_2d(pt, tb.gen_A, b, tb.gen_pair)
+            fast = tb.gen_project(pt, jnp.asarray(tb.gen_p_lo_row),
+                                  jnp.minimum(tb.gen_p_hi_row, p_pot))
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(general), atol=1e-9)
+
+        D = len(tb.des_pos)
+        if D:
+            for _ in range(30):
+                pt = jnp.asarray(rng.uniform(-1, 1, (D, 2)))
+                soc = jnp.asarray(
+                    tb.des_soc_min + rng.uniform(0, 1, D) * (tb.des_soc_max - tb.des_soc_min))
+                b = jnp.asarray(tb.des_b_static)
+                b = b.at[:, 8].set(-(soc - tb.des_soc_max) / (tb.delta_t * tb.des_eff))
+                b = b.at[:, 9].set(tb.des_eff * (soc - tb.des_soc_min) / tb.delta_t)
+                general = project_polytope_2d(pt, tb.des_A, b, tb.des_pair)
+                p_lo = jnp.maximum(tb.des_p_lo_row,
+                                   (soc - tb.des_soc_max) / (tb.delta_t * tb.des_eff))
+                p_hi = jnp.minimum(tb.des_p_hi_row,
+                                   tb.des_eff * (soc - tb.des_soc_min) / tb.delta_t)
+                fast = tb.des_project(pt, p_lo, p_hi)
+                np.testing.assert_allclose(np.asarray(fast), np.asarray(general), atol=1e-9)

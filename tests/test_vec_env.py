@@ -142,3 +142,159 @@ def test_step_autoreset_batch_matches_per_lane():
     # and lane selection (reset vs stepped) must match per-lane exactly.
     term = jnp.zeros(B, bool).at[jnp.array([1, 5, 11])].set(True)
     compare(s_after._replace(terminated=term))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-tier trajectory tests for the STOCHASTIC tasks: inject
+# one identical load/potential sequence into both tiers (overriding
+# init_state/next_vars on each) and require ≥20-step agreement of rewards
+# and solved bus voltages at f32 tolerance.  Matches the reference's diurnal
+# processes (ieee33_renewable_complete.py:188-243) without their RNG.
+# ---------------------------------------------------------------------------
+import dataclasses
+
+
+def _injected_compat(base_cls, s0, table, **kw):
+    """A compat env whose init_state/next_vars replay fixed sequences."""
+
+    class _Injected(base_cls):
+        def __init__(self):
+            self._k = 0
+            super().__init__(**kw)
+
+        def init_state(self):
+            self._k = 0
+            return np.array(s0, float).copy()
+
+        def next_vars(self, s_t):
+            v = table[min(self._k, len(table) - 1)]
+            self._k += 1
+            return np.array(v, float).copy()
+
+    return _Injected()
+
+
+def _injected_vec(task, s0, table):
+    tbl = jnp.asarray(np.asarray(table))
+    s0j = jnp.asarray(np.asarray(s0))
+
+    def init_state_fn(key, carry):
+        return s0j
+
+    def next_vars_fn(key, s_t, carry, t):
+        idx = jnp.minimum(t, tbl.shape[0] - 1)
+        return tbl[idx].astype(s_t.dtype), carry
+
+    return dataclasses.replace(task, init_state_fn=init_state_fn,
+                               next_vars_fn=next_vars_fn,
+                               init_task_fn=lambda key: ())
+
+
+def _compat_bus_vm(env):
+    vm = env.simulator.state["bus_v_magn"]["pu"]
+    return np.array([vm[k] for k in sorted(vm)])
+
+
+def _run_cross_tier(env_c, env_v, n_steps, r_atol=2e-4, v_atol=2e-4, r_rtol=1e-3):
+    # r_rtol: on violation-heavy steps the penalty is lambda=100 times a sum
+    # of voltage-band excesses, so the f32 solver's plateau-accept residual
+    # (1e-4) can move the reward by ~1e-3 relative — still 3+ orders below
+    # any plumbing bug.
+    env_c.reset(seed=0)
+    state_v, _ = env_v.reset(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    lo, hi = np.asarray(env_v.action_low, float), np.asarray(env_v.action_high, float)
+    step_v = jax.jit(env_v.step)
+    for t in range(n_steps):
+        a = rng.uniform(lo, hi)
+        _, r_c, term_c, _, _ = env_c.step(a)
+        state_v, _, r_v, done_v, _ = step_v(state_v, jnp.asarray(a, env_v.dtype))
+        assert term_c == bool(done_v), f"step {t}: termination mismatch"
+        assert not term_c, f"step {t}: unexpected divergence"
+        # On violation steps the reward is O(-100) (lambda=100 on f32
+        # voltages), so the f32-vs-f64 gap scales with |r| — rtol governs.
+        np.testing.assert_allclose(float(r_v), r_c, atol=r_atol, rtol=r_rtol,
+                                   err_msg=f"step {t} reward")
+        np.testing.assert_allclose(np.asarray(state_v.bus_vm, float),
+                                   _compat_bus_vm(env_c), atol=v_atol,
+                                   err_msg=f"step {t} bus |V|")
+
+
+def _diurnal_table(spec, n_steps, k_gen_extra=0):
+    """A deterministic diurnal-ish load sequence in MW (potentials zero —
+    the renewable-family quirk) with reproducible pseudo-noise."""
+    nominal = np.abs(spec.p_min[spec.load_pos]) * spec.baseMVA
+    n_vars = spec.n_load + spec.n_gen + k_gen_extra
+    rng = np.random.default_rng(123)
+    rows = []
+    for t in range(n_steps):
+        factor = 0.8 + 0.3 * np.sin((t / 7.0 - 3.0) * np.pi / 12.0)
+        noise = 1.0 + 0.02 * rng.standard_normal(nominal.shape)
+        row = np.zeros(n_vars)
+        row[: spec.n_load] = -nominal * factor * noise
+        rows.append(row)
+    return np.stack(rows)
+
+
+def test_cross_tier_trajectory_renewable():
+    from gym_anm_tpu.compat import IEEE33RenewableEnv
+
+    task = make_ieee33_renewable_task()
+    env_v = VecEnv(_injected_vec(task, *_zero_s0_and_table(task)), dtype=jnp.float32)
+    s0, table = _zero_s0_and_table(task)
+    env_c = _injected_compat(IEEE33RenewableEnv, s0, table)
+    _run_cross_tier(env_c, env_v, 25)
+
+
+def test_cross_tier_trajectory_multicap():
+    from gym_anm_tpu.compat import IEEE33MultiCapacitorEnv
+
+    task = make_ieee33_multicap_task()
+    s0, table = _zero_s0_and_table(task)
+    env_v = VecEnv(_injected_vec(task, s0, table), dtype=jnp.float32)
+    env_c = _injected_compat(IEEE33MultiCapacitorEnv, s0, table)
+    _run_cross_tier(env_c, env_v, 25)
+
+
+def test_cross_tier_trajectory_anm6easy():
+    from gym_anm_tpu.compat import ANM6Easy
+    from gym_anm_tpu.compat.anm6_easy import _get_gen_time_series, _get_load_time_series
+    from gym_anm_tpu.specs.network import load_network
+    from gym_anm_tpu.networks import anm6_network
+
+    spec = load_network(anm6_network)
+    P_loads, P_maxs = _get_load_time_series(), _get_gen_time_series()
+    n_dev, n_des, n_gen = spec.n_dev, spec.n_des, spec.n_gen
+
+    # Fixed start at t0 = 10, gens' Q at 0, storage at mid-SoC (MWh).
+    t0 = 10
+    s0 = np.zeros(2 * n_dev + n_des + n_gen + 1)
+    s0[[1, 3, 5]] = P_loads[:, t0]
+    s0[[1 + n_dev, 3 + n_dev, 5 + n_dev]] = P_loads[:, t0] * 0.2
+    s0[[2, 4]] = P_maxs[:, t0]
+    soc_mid = 0.5 * (spec.soc_min + spec.soc_max)[spec.des_pos] * spec.baseMVA
+    s0[2 * n_dev : 2 * n_dev + n_des] = soc_mid
+    s0[2 * n_dev + n_des : 2 * n_dev + n_des + n_gen] = P_maxs[:, t0]
+    s0[-1] = t0
+
+    # The ANM6Easy vars process is already deterministic given the aux
+    # time-of-day: replay it as an explicit table for both tiers.
+    n_steps = 25
+    table = []
+    for t in range(n_steps):
+        aux = (t0 + 1 + t) % 96
+        table.append(np.concatenate([P_loads[:, aux], P_maxs[:, aux], [aux]]))
+    table = np.stack(table)
+
+    task = make_anm6easy_task()
+    env_v = VecEnv(_injected_vec(task, s0, table), dtype=jnp.float32)
+    env_c = _injected_compat(ANM6Easy, s0, table)
+    _run_cross_tier(env_c, env_v, n_steps)
+
+
+def _zero_s0_and_table(task):
+    from gym_anm_tpu.specs.network import load_network
+
+    spec = load_network(task.network)
+    s0 = np.zeros(spec.n_state + task.K)
+    return s0, _diurnal_table(spec, 30, k_gen_extra=task.K)
