@@ -77,19 +77,23 @@ def bench_random(env, batch, n_steps, n_reps, autoreset):
 
 
 def bench_l0l5_dataset(env, batch, n_steps, n_reps):
-    """Mixed L0-L5 controller-in-the-loop dataset generation (workload 3)."""
-    from gym_anm_tpu.offline_vec import make_mixed_collector
+    """Mixed L0-L5 controller-in-the-loop dataset generation (workload 3).
+
+    Uses the block-assignment collector: each controller drives its own
+    contiguous lane block via static slicing, so its ``act`` runs on B/6
+    lanes instead of all six controllers running masked on every lane
+    (semantics pinned against make_mixed_collector in tests)."""
+    from gym_anm_tpu.offline_vec import make_block_collector
     from gym_anm_tpu.vec.controllers import make_suite
 
     suite = make_suite(env)
-    assignment = jnp.repeat(jnp.arange(len(suite)), batch // len(suite) + 1)[:batch]
-    collect = make_mixed_collector(env, suite, batch, n_steps)  # ONE compile
+    collect, assignment = make_block_collector(env, suite, batch, n_steps)
 
-    traj = collect(jax.random.PRNGKey(0), assignment)  # compile + first pass
+    traj = collect(jax.random.PRNGKey(0))  # compile + first pass
     jax.block_until_ready(traj)
     t0 = time.perf_counter()
     for rep in range(n_reps):
-        traj = collect(jax.random.PRNGKey(rep + 1), assignment)
+        traj = collect(jax.random.PRNGKey(rep + 1))
     jax.block_until_ready(traj)
     elapsed = time.perf_counter() - t0
     return batch * n_steps * n_reps / elapsed
@@ -114,6 +118,12 @@ def main(batch=8192, quick=False):
 
     extras = []
     if not quick:
+        # 1b. Base task at B=32768: larger batches amortize the
+        # kernel-launch floor (docs/performance.md batch sweep) — the
+        # scale-out operating point.
+        big = bench_random(env, 32768, n_steps=64, n_reps=3, autoreset=False)
+        extras.append(_metric("ieee33_env_steps_per_s_b32768_1chip", big))
+
         # 2. Flagship: 17-dim multicap, random actions + autoreset.
         env_mc = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
         flagship = bench_random(env_mc, batch, n_steps=32, n_reps=3, autoreset=True)

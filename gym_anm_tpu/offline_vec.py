@@ -102,6 +102,65 @@ def make_mixed_collector(env: VecEnv, controllers: Sequence[Controller],
     return collect
 
 
+def make_block_collector(env: VecEnv, controllers: Sequence[Controller],
+                         batch: int, steps: int):
+    """Block-assignment specialization of :func:`make_mixed_collector`:
+    lane block ``i`` (contiguous, ``batch // n`` lanes, remainder to the
+    last block) is driven by controller ``i``, so each controller's ``act``
+    runs only on ITS OWN lanes via static slicing — no n× masked
+    evaluation of every controller on every lane.  Semantically identical
+    to ``make_mixed_collector`` with
+    ``assignment = repeat(arange(n), batch//n ...)``; per-lane env key
+    chains and controller carries are unchanged.
+
+        collect(key) -> (traj, assignment)
+
+    with traj = (obs, action, reward, next_obs, done), each [steps, batch,
+    ...].  This is the dataset-generation fast path (the bench workload).
+    """
+    n = len(controllers)
+    sizes = [batch // n] * n
+    sizes[-1] += batch - sum(sizes)
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    assignment = jnp.asarray(np.repeat(np.arange(n), sizes), jnp.int32)
+
+    @jax.jit
+    def collect(key):
+        k_env, k_ctrl = jax.random.split(key)
+        env_keys = jax.random.split(k_env, batch)
+        state, obs = jax.vmap(env.reset)(env_keys)
+        # Carry init keys are the GLOBAL-lane key table sliced to the block,
+        # so trajectories are bit-identical to make_mixed_collector with the
+        # same block assignment (pinned in tests/test_vec_controllers.py).
+        carries0 = tuple(
+            jax.vmap(c.init_carry)(
+                jax.random.split(jax.random.fold_in(k_ctrl, i), batch)[starts[i]:starts[i + 1]])
+            for i, c in enumerate(controllers)
+        )
+
+        def body(sc, t):
+            state, obs, carries = sc
+            k = jax.vmap(lambda s: jax.random.fold_in(s.key, 11))(state)
+            blocks, new_carries = [], []
+            for i, c in enumerate(controllers):
+                sl = slice(starts[i], starts[i + 1])
+                st_i = jax.tree_util.tree_map(lambda x: x[sl], state)
+                a_i, carry_i = jax.vmap(c.act)(k[sl], st_i, obs[sl], carries[i])
+                blocks.append(a_i)
+                new_carries.append(carry_i)
+            action = jnp.clip(jnp.concatenate(blocks, axis=0),
+                              env.action_low, env.action_high)
+            state2, obs2, r, d, _ = env.step_autoreset_batch(state, action)
+            return (state2, obs2, tuple(new_carries)), (obs, action, r, obs2, d)
+
+        (state, obs, carries), traj = jax.lax.scan(
+            body, (state, obs, carries0), jnp.arange(steps)
+        )
+        return traj
+
+    return collect, assignment
+
+
 def generate_mixed_dataset_vec(env: VecEnv, controllers: Sequence[Controller], key,
                                batch: int, steps: int,
                                weights: Optional[Sequence[float]] = None,

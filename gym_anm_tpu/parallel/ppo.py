@@ -32,12 +32,17 @@ class PPOConfig(NamedTuple):
     # raw-mean reward in metrics is unscaled).
     reward_scale: float = 0.01
     # Optimization schedule: each update re-uses the rollout for n_epochs
-    # passes of n_minibatches minibatches.  Minibatches slice the TIME axis
-    # (a permutation of rollout steps) so the sharded lane axis stays
-    # intact — no cross-device reshuffling, the data-parallel layout is
-    # preserved.  rollout_len must be divisible by n_minibatches.
+    # passes over an (n_minibatches × n_lane_minibatches) minibatch grid.
+    # The TIME axis is a per-epoch permutation; the LANE axis is cut into
+    # CONTIGUOUS chunks (lanes are independent env streams, so contiguous
+    # chunks are unbiased samples, and contiguity keeps each chunk aligned
+    # with the data-parallel shard layout — no cross-device reshuffle).
+    # rollout_len % n_minibatches == 0; batch % n_lane_minibatches == 0
+    # (and n_lane_minibatches should divide lanes-per-device to keep chunks
+    # shard-local).
     n_epochs: int = 1
     n_minibatches: int = 1
+    n_lane_minibatches: int = 1
 
 
 def init_params(key, obs_dim, act_dim, hidden=64, dtype=jnp.float32):
@@ -204,18 +209,33 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
         # Minibatches are contiguous groups of a per-epoch TIME permutation
         # (deterministic in ts.step, so results are independent of device
         # count); the lane axis is untouched — sharding-friendly.
+        n_lanes = obs_T.shape[1]
+        if n_lanes % cfg.n_lane_minibatches != 0:
+            raise ValueError(
+                f"batch ({n_lanes}) must be divisible by "
+                f"n_lane_minibatches ({cfg.n_lane_minibatches})"
+            )
+        lane_mb = n_lanes // cfg.n_lane_minibatches
+
         def epoch_body(carry, k_epoch):
             ts = carry
             perm = jax.random.permutation(k_epoch, cfg.rollout_len)
 
             def mb_body(ts, i):
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_len, mb_len)
-                args = tuple(x[idx] for x in (obs_T, act_T, adv, returns, old_logp))
+                t_i = i // cfg.n_lane_minibatches
+                l_i = i % cfg.n_lane_minibatches
+                idx = jax.lax.dynamic_slice_in_dim(perm, t_i * mb_len, mb_len)
+                args = tuple(
+                    jax.lax.dynamic_slice_in_dim(x[idx], l_i * lane_mb, lane_mb, axis=1)
+                    for x in (obs_T, act_T, adv, returns, old_logp)
+                )
                 (loss, (pg, vl)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(ts.params, *args)
                 return adam_update(ts, grads, cfg.lr), (loss, pg, vl)
 
-            ts, losses = jax.lax.scan(mb_body, ts, jnp.arange(cfg.n_minibatches))
+            ts, losses = jax.lax.scan(
+                mb_body, ts, jnp.arange(cfg.n_minibatches * cfg.n_lane_minibatches)
+            )
             return ts, losses
 
         epoch_keys = jax.random.split(

@@ -38,8 +38,11 @@ def enable_persistent_cache(path: str = None) -> str:
     # about possible SIGILL.  CPU compiles are fast anyway; the 20-40 s
     # remote TPU compiles are the ones worth persisting.  Checked WITHOUT
     # initializing the backend (default_backend() would pin the platform).
-    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in str(platforms).lower():
+    # Only the PRIMARY platform matters: the axon plugin sets
+    # jax_platforms to "axon,cpu" with cpu as a mere fallback.
+    platforms = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
+    primary = platforms.split(",")[0].strip().lower()
+    if primary == "cpu":
         return None
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         path = os.environ["JAX_COMPILATION_CACHE_DIR"]

@@ -43,6 +43,14 @@ def main():
     ap.add_argument("--lanes-per-device", type=int, default=512)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--rollout", type=int, default=16)
+    ap.add_argument("--task", choices=("ieee33", "multicap"), default="ieee33",
+                    help="ieee33 = static base task; multicap = the 17-dim "
+                         "flagship with diurnal loads")
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--minibatches", type=int, default=1,
+                    help="time-axis minibatches per epoch")
+    ap.add_argument("--lane-minibatches", type=int, default=1,
+                    help="contiguous lane-axis minibatches per epoch")
     ap.add_argument("--cpu", action="store_true",
                     help="8 virtual CPU devices (mechanism check)")
     args = ap.parse_args()
@@ -56,8 +64,13 @@ def main():
     B = args.lanes_per_device * len(devices)
     print(f"{len(devices)} device(s) ({devices[0].platform}), batch {B}")
 
-    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
-    cfg = PPOConfig(rollout_len=args.rollout)
+    from gym_anm_tpu.vec import make_ieee33_multicap_task
+
+    factory = make_ieee33_task if args.task == "ieee33" else make_ieee33_multicap_task
+    env = VecEnv(factory(), dtype=jnp.float32)
+    cfg = PPOConfig(rollout_len=args.rollout, n_epochs=args.epochs,
+                    n_minibatches=args.minibatches,
+                    n_lane_minibatches=args.lane_minibatches)
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     state, obs = jax.jit(jax.vmap(env.reset), out_shardings=(env_sh, env_sh))(keys)

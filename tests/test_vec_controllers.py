@@ -80,3 +80,25 @@ def test_vec_l1_matches_host_l1(renv):
     state = state._replace(p_pot=jnp.asarray(p_pot_host))
     action, _ = l1.act(jax.random.PRNGKey(1), state, obs, l1.init_carry(jax.random.PRNGKey(2)))
     np.testing.assert_allclose(np.asarray(action), host_action, atol=1e-12)
+
+
+def test_block_collector_matches_mixed_collector():
+    """The block-assignment collector (each controller statically sliced to
+    its own lane block — the bench fast path) must produce bit-identical
+    trajectories to the masked mixed collector under the same assignment."""
+    import numpy as np
+    from gym_anm_tpu.offline_vec import make_block_collector, make_mixed_collector
+    from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task
+    from gym_anm_tpu.vec.controllers import make_suite
+
+    env = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
+    suite = make_suite(env)
+    B, T = 24, 6
+    block, assignment = make_block_collector(env, suite, B, T)
+    mixed = make_mixed_collector(env, suite, B, T)
+
+    key = jax.random.PRNGKey(3)
+    traj_b = block(key)
+    traj_m = mixed(key, assignment)
+    for a, b in zip(traj_b, traj_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
