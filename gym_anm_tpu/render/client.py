@@ -8,6 +8,13 @@ grid, the page builds the one-line diagram from topology shipped in the
 layout), so ANY network — ANM6, IEEE33, custom grids — renders without
 artwork.  Message schema is the reference's (init/update labels,
 rendering.py:88-163) plus the topology fields.
+
+Below the diagram sits the per-device gauge panel — one card per device
+with signed P/Q bars against the device's |P|max/|Q|max range, a
+potential-P marker for curtailable generators, and a SoC fill bar for
+storage units: the generic-topology equivalent of the reference
+dashboard's per-device injection bars (rendering/js/devices.js
+PowerInjection/StorageUnit).
 """
 
 _PAGE = r"""<!DOCTYPE html>
@@ -29,6 +36,23 @@ _PAGE = r"""<!DOCTYPE html>
   .branch { stroke-linecap: round; }
   .lbl { font-size: 9px; fill: #555; }
   .dev { font-size: 8px; }
+  #devpanel { display: grid; gap: 8px; padding: 8px 16px 20px;
+              grid-template-columns: repeat(auto-fill, minmax(210px, 1fr)); }
+  .card { background: #fff; border: 1px solid #ddd; border-radius: 6px;
+          padding: 6px 10px; font-size: 11px; }
+  .card .hd { display: flex; align-items: center; gap: 6px;
+              font-weight: 600; margin-bottom: 4px; }
+  .chip { width: 9px; height: 9px; border-radius: 2px; display: inline-block; }
+  .grow { display: grid; grid-template-columns: 28px 1fr 52px;
+          align-items: center; gap: 6px; margin: 3px 0; }
+  .grow .val { text-align: right; font-variant-numeric: tabular-nums; }
+  .track { position: relative; height: 9px; background: #eef0f2;
+           border-radius: 4px; overflow: hidden; }
+  .track .mid { position: absolute; left: 50%; top: 0; bottom: 0;
+                width: 1px; background: #c5c9cf; }
+  .track .fill { position: absolute; top: 0; bottom: 0; border-radius: 2px; }
+  .track .pot { position: absolute; top: -1px; bottom: -1px; width: 2px;
+                background: #f39c12; }
 </style>
 </head>
 <body>
@@ -40,6 +64,7 @@ _PAGE = r"""<!DOCTYPE html>
 </div>
 <div id="collapsed">NETWORK COLLAPSED — load flow did not converge</div>
 <svg id="net" width="960" height="640" viewBox="0 0 960 640"></svg>
+<div id="devpanel"></div>
 <script>
 const WS_ADDRESS = "__WS_ADDRESS__";
 const NS = "http://www.w3.org/2000/svg";
@@ -67,6 +92,83 @@ const DEV_COLOR = {"-1": "#2980b9", "0": "#111", "1": "#8e44ad",
                    "5": "#2c3e50"};
 const DEV_NAME = {"-1": "load", "0": "slack", "1": "gen", "2": "RE",
                   "3": "DES", "4": "cap", "5": "OLTC"};
+let cards = [];
+
+function hel(tag, cls, parent) {
+  const e = document.createElement(tag);
+  if (cls) e.className = cls;
+  parent.appendChild(e);
+  return e;
+}
+function gaugeRow(card, label, maxAbs) {  // signed bar, range [-maxAbs, maxAbs]
+  const row = hel("div", "grow", card);
+  hel("span", "", row).textContent = label;
+  const track = hel("div", "track", row);
+  hel("div", "mid", track);
+  const fill = hel("div", "fill", track);
+  const val = hel("span", "val", row);
+  return {fill, val, track, maxAbs};
+}
+function setGauge(g, v, color) {
+  const f = Math.min(Math.abs(v) / (g.maxAbs || 1), 1) * 50;
+  g.fill.style.background = color;
+  g.fill.style.width = f + "%";
+  g.fill.style.left = (v >= 0 ? 50 : 50 - f) + "%";
+  g.val.textContent = v.toFixed(2);
+}
+
+function buildDevPanel(s) {
+  // Per-device p/q/SoC gauge cards — the equivalent of the reference
+  // dashboard's per-device injection bars + max ticks + potential-P
+  // overlay (rendering/js/devices.js PowerInjection/StorageUnit).
+  const panel = document.getElementById("devpanel");
+  panel.innerHTML = "";
+  cards = [];
+  let socIdx = 0, potIdx = 0;
+  s.devType.forEach((t, d) => {
+    const card = hel("div", "card", panel);
+    const hd = hel("div", "hd", card);
+    hel("span", "chip", hd).style.background = DEV_COLOR[t] || "#999";
+    const busTag = s.devBus ? ` @ bus ${s.busIds[s.devBus[d]]}` : "";
+    hd.appendChild(document.createTextNode(
+      `${DEV_NAME[t] || "?"} ${d}${busTag}`));
+    const c = {t};
+    c.p = gaugeRow(card, "P", s.pMax[d]);
+    c.p.val.title = `|P| ≤ ${s.pMax[d].toFixed(1)} MW`;
+    c.q = gaugeRow(card, "Q", s.qMax[d]);
+    c.q.val.title = `|Q| ≤ ${s.qMax[d].toFixed(1)} MVAr`;
+    if (t === 1 || t === 2) {        // curtailable gen: potential-P marker
+      c.pot = hel("div", "pot", c.p.track);
+      c.potIdx = potIdx++;
+    }
+    if (t === 3) {                   // storage: SoC fill 0..socMax
+      c.soc = gaugeRow(card, "SoC", s.socMax[socIdx] || 1);
+      c.socIdx = socIdx++;
+    }
+    cards.push(c);
+  });
+}
+
+function updateDevPanel(m) {
+  cards.forEach((c, d) => {
+    const p = m.pInjections[d], q = m.qInjections[d];
+    setGauge(c.p, p, p >= 0 ? "#27ae60" : "#2980b9");
+    setGauge(c.q, q, q >= 0 ? "#16a085" : "#8e44ad");
+    if (c.pot && m.pPotential) {
+      const pp = m.pPotential[c.potIdx];
+      const f = Math.min(Math.abs(pp) / (c.p.maxAbs || 1), 1) * 50;
+      c.pot.style.left = (pp >= 0 ? 50 + f : 50 - f) + "%";
+    }
+    if (c.soc && m.socStorage) {
+      const soc = m.socStorage[c.socIdx];
+      const fr = Math.min(soc / (c.soc.maxAbs || 1), 1) * 100;
+      c.soc.fill.style.background = "#d35400";
+      c.soc.fill.style.left = "0%";
+      c.soc.fill.style.width = fr + "%";
+      c.soc.val.textContent = soc.toFixed(1);
+    }
+  });
+}
 
 function build(s) {
   spec = s;
@@ -74,7 +176,8 @@ function build(s) {
   const svg = document.getElementById("net");
   svg.innerHTML = "";
   nodes = []; edges = []; devGlyphs = [];
-  if (!s.busXY || !s.branchFrom) {  // no topology: scalar panels only
+  buildDevPanel(s);
+  if (!s.busXY || !s.branchFrom) {  // no topology: gauges only
     svg.style.display = "none";
     return;
   }
@@ -121,7 +224,8 @@ function update(m) {
     "E-loss: " + m.reward[0].toFixed(3);
   document.getElementById("penalty").textContent =
     "Penalty: " + m.reward[1].toFixed(3);
-  if (!nodes.length) return;  // scalar-panels-only mode (no topology)
+  updateDevPanel(m);
+  if (!nodes.length) return;  // gauges-only mode (no topology)
   m.vMagn.forEach((v, i) => {
     nodes[i].c.setAttribute("fill", vColor(v, spec.vMin[i], spec.vMax[i]));
     nodes[i].vlbl.textContent = v.toFixed(3);

@@ -1,0 +1,167 @@
+"""Build the static HTML documentation site from the markdown sources.
+
+The reference ships a sphinx/autosummary site (docs/source/conf.py:71);
+this repo keeps its sources as plain markdown (docs/*.md + README.md) and
+builds the equivalent browsable site with the stdlib-adjacent ``markdown``
+and ``pygments`` packages — no sphinx required.  Output is a fully static
+tree (one .html per page, a shared stylesheet, a sidebar navigation) that
+can be served by any file server or opened directly from disk.
+
+    python scripts/build_docs_site.py [--out docs/_site]
+
+Regenerate docs/api_reference.md first (scripts/gen_api_docs.py) if public
+APIs changed; this script only renders what is on disk.
+"""
+
+import argparse
+import os
+import re
+import sys
+
+import markdown
+from pygments.formatters import HtmlFormatter
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+# (source path relative to repo root, output name, sidebar section)
+PAGES = [
+    ("README.md", "index", "Overview"),
+    ("docs/quickstart.md", "quickstart", "Guides"),
+    ("docs/using_environments.md", "using_environments", "Guides"),
+    ("docs/design_new_env.md", "design_new_env", "Guides"),
+    ("docs/controllers.md", "controllers", "Guides"),
+    ("docs/offline_training.md", "offline_training", "Guides"),
+    ("docs/distributed.md", "distributed", "Guides"),
+    ("docs/rendering.md", "rendering", "Guides"),
+    ("docs/performance.md", "performance", "Internals"),
+    ("docs/api_reference.md", "api_reference", "API"),
+]
+
+TEMPLATE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>{title} — gym-anm-tpu</title>
+<link rel="stylesheet" href="style.css">
+</head>
+<body>
+<nav class="sidebar">
+<p class="brand"><a href="index.html">gym-anm-tpu</a></p>
+{nav}
+</nav>
+<main class="content">
+{body}
+</main>
+</body>
+</html>
+"""
+
+STYLE = """
+:root { --fg: #1a1a1a; --bg: #ffffff; --accent: #0b5fff; --rail: #f5f6f8; }
+* { box-sizing: border-box; }
+body { margin: 0; display: flex; color: var(--fg); background: var(--bg);
+       font: 16px/1.6 -apple-system, "Segoe UI", Roboto, sans-serif; }
+.sidebar { width: 240px; min-width: 240px; min-height: 100vh; padding: 1.2rem;
+           background: var(--rail); border-right: 1px solid #e2e4e8; }
+.sidebar .brand { font-weight: 700; font-size: 1.1rem; margin-top: 0; }
+.sidebar h3 { font-size: 0.75rem; text-transform: uppercase; letter-spacing: 0.08em;
+              color: #6b7280; margin: 1.2rem 0 0.3rem; }
+.sidebar ul { list-style: none; margin: 0; padding: 0; }
+.sidebar li { margin: 0.15rem 0; }
+.sidebar a { color: var(--fg); text-decoration: none; }
+.sidebar a.current { color: var(--accent); font-weight: 600; }
+.sidebar a:hover { color: var(--accent); }
+.content { max-width: 900px; padding: 2rem 3rem; overflow-x: auto; }
+h1, h2, h3 { line-height: 1.25; }
+h1 { border-bottom: 2px solid #e2e4e8; padding-bottom: 0.3rem; }
+a { color: var(--accent); }
+code { background: #f1f2f4; padding: 0.1em 0.3em; border-radius: 3px;
+       font: 0.9em/1.5 "SF Mono", Consolas, monospace; }
+pre { background: #f8f9fa; border: 1px solid #e2e4e8; border-radius: 6px;
+      padding: 0.8rem 1rem; overflow-x: auto; }
+pre code { background: none; padding: 0; }
+table { border-collapse: collapse; margin: 1rem 0; }
+th, td { border: 1px solid #d6d9de; padding: 0.35rem 0.7rem; text-align: left; }
+th { background: var(--rail); }
+blockquote { border-left: 3px solid var(--accent); margin-left: 0;
+             padding-left: 1rem; color: #4b5563; }
+"""
+
+
+def _first_heading(text, fallback):
+    m = re.search(r"^#\s+(.+)$", text, re.M)
+    return m.group(1).strip() if m else fallback
+
+
+def _rewrite_links(html, name_by_source):
+    """Point intra-repo markdown links at their rendered .html pages."""
+
+    def sub(m):
+        target, frag = m.group(2), m.group(3) or ""
+        key = target.lstrip("./")
+        for src, out in name_by_source.items():
+            if key == src or key == os.path.basename(src):
+                return f'{m.group(1)}{out}.html{frag}"'
+        return m.group(0)
+
+    return re.sub(r'(href=")([^"#]+\.md)(#[^"]*)?"', sub, html)
+
+
+def build(out_dir):
+    os.makedirs(out_dir, exist_ok=True)
+    name_by_source = {src: out for src, out, _ in PAGES}
+
+    titles = {}
+    bodies = {}
+    for src, out, _ in PAGES:
+        path = os.path.join(REPO, src)
+        if not os.path.exists(path):
+            print(f"skip (missing): {src}", file=sys.stderr)
+            continue
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+        titles[out] = _first_heading(text, out.replace("_", " "))
+        md = markdown.Markdown(
+            extensions=["extra", "toc", "codehilite", "sane_lists", "admonition"],
+            extension_configs={"codehilite": {"guess_lang": False}},
+        )
+        bodies[out] = _rewrite_links(md.convert(text), name_by_source)
+
+    sections = {}
+    for src, out, section in PAGES:
+        if out in bodies:
+            sections.setdefault(section, []).append(out)
+
+    for src, out, _ in PAGES:
+        if out not in bodies:
+            continue
+        nav_parts = []
+        for section, outs in sections.items():
+            nav_parts.append(f"<h3>{section}</h3>\n<ul>")
+            for o in outs:
+                cls = ' class="current"' if o == out else ""
+                nav_parts.append(f'<li><a href="{o}.html"{cls}>{titles[o]}</a></li>')
+            nav_parts.append("</ul>")
+        page = TEMPLATE.format(title=titles[out], nav="\n".join(nav_parts), body=bodies[out])
+        with open(os.path.join(out_dir, f"{out}.html"), "w", encoding="utf-8") as fh:
+            fh.write(page)
+
+    css = STYLE + HtmlFormatter(style="default").get_style_defs(".codehilite")
+    with open(os.path.join(out_dir, "style.css"), "w", encoding="utf-8") as fh:
+        fh.write(css)
+
+    n = len(bodies)
+    print(f"built {n} pages -> {out_dir}")
+    return n
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "_site"))
+    args = ap.parse_args()
+    build(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -148,3 +148,18 @@ def test_anm6_render_publishes_real_state():
     finally:
         rmod.webbrowser.open = orig
         env.close()
+
+
+def test_device_gauge_panel_in_page():
+    """The dashboard page ships the per-device p/q/SoC gauge panel (the
+    reference's rendering/js/devices.js equivalent) with balanced JS."""
+    from gym_anm_tpu.render.client import render_page
+
+    html = render_page("ws://x").decode()
+    assert 'id="devpanel"' in html
+    for needle in ("buildDevPanel", "updateDevPanel", "setGauge",
+                   "pPotential", "socStorage", "qInjections"):
+        assert needle in html, needle
+    script = html.split("<script>")[1].split("</script>")[0]
+    for o, c in ("{}", "()", "[]"):
+        assert script.count(o) == script.count(c), f"unbalanced {o}{c}"

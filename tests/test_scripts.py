@@ -58,3 +58,21 @@ def test_diversity_benchmark_single_run():
     bench = _load("create_algorithmic_diversity")
     avg = bench.run(bench.CONTROLLERS[1][1], load_scale=1.0, steps=5)
     assert np.isfinite(avg)
+
+
+def test_docs_site_builds(tmp_path):
+    """The static doc site (the repo's sphinx-equivalent;
+    /root/reference/docs/source/conf.py) builds every page with nav,
+    rendered tables, and .md links rewritten to .html."""
+    site = _load("build_docs_site")
+    out = tmp_path / "_site"
+    n = site.build(str(out))
+    assert n == len(site.PAGES)
+    for _, name, _ in site.PAGES:
+        page = out / f"{name}.html"
+        assert page.exists(), name
+        html = page.read_text()
+        assert 'class="sidebar"' in html
+        assert '.md"' not in html.split("<main")[1], name  # links rewritten
+    assert "<table>" in (out / "performance.html").read_text()
+    assert (out / "style.css").exists()
