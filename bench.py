@@ -51,10 +51,12 @@ def _time_reps(run_jit, state, obs, n_reps, steps_per_rep):
     return steps_per_rep * n_reps / elapsed
 
 
-def bench_random(env, batch, n_steps, n_reps, autoreset):
+def bench_random(env, batch, n_steps, n_reps, autoreset, rng_impl=None):
     """Random-action throughput for one VecEnv (workloads 1 and 2)."""
+    from gym_anm_tpu.vec import farm_keys
+
     lo, hi = env.action_low, env.action_high
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    keys = farm_keys(0, batch, impl=rng_impl)
     state, obs = jax.jit(jax.vmap(env.reset))(keys)
     # Batch-level autoreset: the reset program is skipped at runtime on
     # steps where no lane terminated (env.step_autoreset_batch).
@@ -62,9 +64,12 @@ def bench_random(env, batch, n_steps, n_reps, autoreset):
         lambda st, a: jax.vmap(env.step)(st, a))
 
     def run(state, obs, seed):
+        seed_key = (jax.random.key(seed, impl=rng_impl) if rng_impl
+                    else jax.random.PRNGKey(seed))
+
         def body(carry, t):
             st, obs = carry
-            k = jax.random.fold_in(jax.random.PRNGKey(seed), t)
+            k = jax.random.fold_in(seed_key, t)
             acts = lo + jax.random.uniform(k, (batch, env.n_action), dtype=env.dtype) * (hi - lo)
             st, obs, r, d, _ = step(st, acts)
             return (st, obs), r.sum()
@@ -108,12 +113,13 @@ def _metric(name, steps_per_s):
     }
 
 
-def main(batch=8192, quick=False):
+def main(batch=8192, quick=False, rng_impl=None):
     from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task, make_ieee33_task
 
     # 1. Headline: base IEEE33, 3-dim action, plain step.
     env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
-    base = bench_random(env, batch, n_steps=64, n_reps=3, autoreset=False)
+    base = bench_random(env, batch, n_steps=64, n_reps=3, autoreset=False,
+                        rng_impl=rng_impl)
     headline = _metric(f"ieee33_env_steps_per_s_b{batch}_1chip", base)
 
     extras = []
@@ -121,12 +127,14 @@ def main(batch=8192, quick=False):
         # 1b. Base task at B=32768: larger batches amortize the
         # kernel-launch floor (docs/performance.md batch sweep) — the
         # scale-out operating point.
-        big = bench_random(env, 32768, n_steps=64, n_reps=3, autoreset=False)
+        big = bench_random(env, 32768, n_steps=64, n_reps=3, autoreset=False,
+                           rng_impl=rng_impl)
         extras.append(_metric("ieee33_env_steps_per_s_b32768_1chip", big))
 
         # 2. Flagship: 17-dim multicap, random actions + autoreset.
         env_mc = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
-        flagship = bench_random(env_mc, batch, n_steps=32, n_reps=3, autoreset=True)
+        flagship = bench_random(env_mc, batch, n_steps=32, n_reps=3, autoreset=True,
+                                rng_impl=rng_impl)
         extras.append(_metric(f"ieee33_multicap17_env_steps_per_s_b{batch}_1chip", flagship))
 
         # 3. L0-L5 controller-in-the-loop dataset generation on the 17-dim task.
@@ -138,8 +146,15 @@ def main(batch=8192, quick=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--quick"]
+    rng_impl = None
+    for a in sys.argv[1:]:
+        if a.startswith("--rng="):
+            rng_impl = a.split("=", 1)[1]
+            if rng_impl in ("threefry", "default"):
+                rng_impl = None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(
         batch=int(args[0]) if args else 8192,
         quick="--quick" in sys.argv,
+        rng_impl=rng_impl,
     )

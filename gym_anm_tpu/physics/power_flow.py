@@ -429,13 +429,17 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         x, F, diff, best, it, stall, g_prev, f_prev = carry
         active = jnp.logical_and(diff > xtol, it < lim_iter)
         # Lanes already inside the plateau-acceptance band (≤ 10·xtol) exit
-        # after TWO non-improving iterations instead of three: they are
+        # after ONE non-improving iteration instead of three: they are
         # accepted either way, and they are disproportionately the batch's
         # slowest lanes — under vmap every lane runs until the last one
-        # stops, so one saved floor-bouncing iteration is saved for the
-        # whole batch.  Lanes above the band keep the full stall budget
+        # stops, so every saved floor-bouncing iteration is saved for the
+        # whole batch.  Measured (CPU A/B, 30 warm-started steps × 2048
+        # lanes, random actions): worst-lane iterations 11.4 → 9.1 (base)
+        # / 9.4 (multicap) with the worst exit residual unchanged at
+        # ~4.4e-5 and the mean-lane count IMPROVED (warm starts don't
+        # degrade).  Lanes above the band keep the full stall budget
         # (their exit would be UNaccepted and trigger the NR fallback).
-        limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 1, stall_limit)
+        limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 2, stall_limit)
         return jnp.logical_and(active, stall < limit)
 
     def body(carry):
@@ -517,8 +521,8 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     # while still improving is NOT accepted — it proceeds to the exact-NR
     # polish, matching nr_solve's f32 rule.
     # Mirror cond's region-dependent stall budget: inside the acceptance
-    # band a stall of (stall_limit − 1) is a completed plateau exit.
-    eff_limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 1, stall_limit)
+    # band a stall of (stall_limit − 2) is a completed plateau exit.
+    eff_limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 2, stall_limit)
     plateaued = jnp.logical_and(finite, stall >= eff_limit)
     accepted = jnp.logical_or(
         jnp.logical_and(finite, diff <= xtol),

@@ -4,7 +4,7 @@ Submodules: :mod:`.controllers` (on-device L0-L5 suite), :mod:`.experts`
 (on-device heuristic expert zoo), :mod:`.tasks` (task factories).
 """
 
-from .core import EnvState, VecEnv, VecTask
+from .core import EnvState, VecEnv, VecTask, farm_keys
 from .tasks import (
     make_anm6easy_task,
     make_ieee33_multicap_task,
@@ -18,6 +18,7 @@ __all__ = [
     "EnvState",
     "VecEnv",
     "VecTask",
+    "farm_keys",
     "make_two_bus_task",
     "make_ieee33_task",
     "make_ieee33_renewable_task",

@@ -157,11 +157,18 @@ def make_l3(env):
         vm = state.bus_vm
         v_min, v_max, v_mean = jnp.min(vm), jnp.max(vm), jnp.mean(vm)
 
+        # Explicit dtype on where-of-weak-scalars (see make_l4: under x64
+        # these resolve to f64 and promote the action math).
+        dt = env.dtype
         margin = jnp.minimum(v_min - 0.95, 1.05 - v_max)
-        base = jnp.where(margin < 0.01, 0.15, jnp.where(margin < 0.02, 0.20, 0.24))
+        base = jnp.where(margin < 0.01, jnp.asarray(0.15, dt),
+                         jnp.where(margin < 0.02, jnp.asarray(0.20, dt),
+                                   jnp.asarray(0.24, dt)))
 
         v_local = vm[gen_bus]
-        local = jnp.where(v_local > 1.035, 0.7, jnp.where(v_local < 0.965, 1.2, 1.0))
+        local = jnp.where(v_local > 1.035, jnp.asarray(0.7, dt),
+                          jnp.where(v_local < 0.965, jnp.asarray(1.2, dt),
+                                    jnp.asarray(1.0, dt)))
         a = _blank(env, env.dtype)
         ren = jnp.minimum(state.p_pot * base * local, state.p_pot)
         a = a.at[:n_gen].set(ren)
@@ -238,13 +245,20 @@ def make_l4(env):
         v_min, v_max, v_mean = jnp.min(vm), jnp.max(vm), jnp.mean(vm)
         trend = jnp.where(carry.have_prev, v_mean - carry.prev_mean, 0.0)
 
+        # Explicit dtype on the where-of-scalars: under global x64 a
+        # where(pred, 0.6, 1.0) of weak python floats resolves to float64
+        # and promotes the downstream action math (emulated f64 on TPU).
+        dt = env.dtype
         base = jnp.where(
-            jnp.logical_and(trend > 0.005, v_max > 1.02), 0.16,
-            jnp.where(jnp.logical_and(trend < -0.005, v_min < 0.98), 0.24, 0.20),
+            jnp.logical_and(trend > 0.005, v_max > 1.02), jnp.asarray(0.16, dt),
+            jnp.where(jnp.logical_and(trend < -0.005, v_min < 0.98),
+                      jnp.asarray(0.24, dt), jnp.asarray(0.20, dt)),
         )
         v_local = vm[gen_bus]
         v_pred = v_local + trend * 3
-        local = jnp.where(v_pred > 1.04, 0.6, jnp.where(v_pred < 0.96, 1.3, 1.0))
+        local = jnp.where(v_pred > 1.04, jnp.asarray(0.6, dt),
+                          jnp.where(v_pred < 0.96, jnp.asarray(1.3, dt),
+                                    jnp.asarray(1.0, dt)))
         a = _blank(env, env.dtype)
         a = a.at[:n_gen].set(jnp.minimum(state.p_pot * base * local, state.p_pot))
 
@@ -254,8 +268,8 @@ def make_l4(env):
         a = a.at[_gen_q_slice(env)].set(q.astype(env.dtype))
 
         cap_timers = jnp.maximum(carry.cap_timers - 1, 0)
-        thresholds_on = jnp.array([0.96, 0.955])
-        thresholds_off = jnp.array([0.975, 0.97])
+        thresholds_on = jnp.array([0.96, 0.955], dt)
+        thresholds_off = jnp.array([0.975, 0.97], dt)
         is_off = carry.last_caps == 0.0
         turn_on = jnp.logical_and(v_min < thresholds_on, is_off)
         turn_off = jnp.logical_and(v_min > thresholds_off, ~is_off)
@@ -348,15 +362,21 @@ def make_l5(env):
         pv_min = jnp.clip(v_min + base_min + cap_boost + oltc, 0.85, 1.15)
         pv_max = jnp.clip(v_max + cap_boost * 0.9 + oltc * 0.95, pv_min, 1.15)
 
+        # The switching-penalty terms are bool arrays scaled by python
+        # floats — under global x64 that promotes to float64 (bools carry
+        # no float dtype, so the WEAK scalar resolves to the f64 default)
+        # and drags the whole cost/argmin to emulated f64 on TPU.  Cast
+        # the bools to the env dtype first.
+        dt = env.dtype
         cost = (
             100.0 * jnp.maximum(0.95 - pv_min, 0.0) ** 2
             + 100.0 * jnp.maximum(pv_max - 1.05, 0.0) ** 2
             + 1.0 * jnp.maximum(0.96 - pv_min, 0.0) ** 2
             + 1.0 * jnp.maximum(pv_max - 1.04, 0.0) ** 2
             + 0.05 * ((pv_min + pv_max) / 2 - 1.0) ** 2
-            + 0.001 * (c1 != carry.last_cap1)
-            + 0.001 * (c2 != carry.last_cap2)
-            + 0.005 * (grid[:, 3].astype(jnp.int32) != carry.last_tap_idx)
+            + 0.001 * (c1 != carry.last_cap1).astype(dt)
+            + 0.001 * (c2 != carry.last_cap2).astype(dt)
+            + 0.005 * (grid[:, 3].astype(jnp.int32) != carry.last_tap_idx).astype(dt)
             + 0.01 * (c1 + c2)
             + 0.001 * jnp.abs(ren - 0.2)
         )

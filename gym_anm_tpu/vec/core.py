@@ -30,6 +30,25 @@ from ..physics.transition import GridTables, make_tables, solution_guess, transi
 from ..specs.network import NetworkSpec, load_network
 
 
+def farm_keys(seed, n, impl=None):
+    """``n`` independent per-lane PRNG keys for an environment farm.
+
+    ``impl=None`` gives JAX's default (threefry) keys — fully deterministic
+    across backends.  ``impl="rbg"`` selects the ``RngBitGenerator``-backed
+    implementation: per-lane *bulk* sampling (the stochastic tasks' load
+    noise, policy draws) compiles to XLA's native fast RNG instead of
+    threefry's elementwise bit mixing, which on TPU lowers to a sequential
+    kLoop fusion that dominates the stochastic tasks' step time
+    (docs/performance.md).  Every VecEnv entry point accepts either kind —
+    the key chains (split/fold_in) are structured identically; only the
+    stream values differ, so rbg trajectories are not bit-reproducible
+    across backends/jaxlib versions (fine for throughput/training work,
+    use the default for parity work).
+    """
+    key = jax.random.key(seed, impl=impl) if impl else jax.random.PRNGKey(seed)
+    return jax.random.split(key, n)
+
+
 class EnvState(NamedTuple):
     """Per-lane carried state (a flat pytree — checkpointable with orbax)."""
 

@@ -156,19 +156,23 @@ def _make_renewable_family_task(network, name, load_scale=1.0, scenario="default
         return jax.random.uniform(key, ()) * 24.0
 
     def init_state_fn(key, carry):
-        return jax.random.normal(key, (n_s0,)) * 0.001
+        # f32 draw for the same x64 reason as the load noise below; the
+        # reset path casts to the env dtype afterwards.
+        return jax.random.normal(key, (n_s0,), dtype=jnp.float32) * 0.001
 
     def next_vars_fn(key, s_t, hour, t):
         # The reference advances the clock by delta_t/3600 h per step before
         # sampling; renewable potentials stay at ZERO (the quirk the
         # controller hierarchy was tuned against).
         hour = (hour + delta_t / 3600.0) % 24.0
-        time_factor = 0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)
-        noise = 1.0 + 0.02 * jax.random.normal(key, nominal_mw.shape)
-        # Cast the full expression: under global x64 the hour carry (and so
-        # time_factor) is f64, and scattering an f64 product into the f32
-        # vars array trips JAX's dtype-promotion FutureWarning.
-        loads = (-nominal_mw * load_scale * time_factor * noise).astype(s_t.dtype)
+        time_factor = (0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)).astype(s_t.dtype)
+        # Draw the noise AT the state dtype.  Under the package's global
+        # jax_enable_x64, an unannotated normal() is float64 — and f64
+        # erf_inv/threefry on TPU lowers to an emulated sequential kLoop
+        # fusion that cost ~0.46 ms/step at B=8192, over a third of the
+        # whole multicap step (docs/performance.md, round-3 trace).
+        noise = 1.0 + 0.02 * jax.random.normal(key, nominal_mw.shape, dtype=s_t.dtype)
+        loads = -nominal_mw.astype(s_t.dtype) * (load_scale * time_factor * noise)
         zeros_tail = jnp.zeros(n_vars - spec.n_load, dtype=s_t.dtype)
         return jnp.concatenate([loads, zeros_tail]), hour
 
@@ -214,24 +218,28 @@ def make_anm6easy_task():
     n_steps_day = 96
     n_dev, n_des, n_gen = spec.n_dev, spec.n_des, spec.n_gen
 
-    q_min_gen = spec.q_min[spec.gen_nonslack_pos] * spec.baseMVA
-    q_max_gen = spec.q_max[spec.gen_nonslack_pos] * spec.baseMVA
-    soc_min = spec.soc_min[spec.des_pos] * spec.baseMVA
-    soc_max = spec.soc_max[spec.des_pos] * spec.baseMVA
+    f32 = jnp.float32
+    q_min_gen = jnp.asarray(spec.q_min[spec.gen_nonslack_pos] * spec.baseMVA, f32)
+    q_max_gen = jnp.asarray(spec.q_max[spec.gen_nonslack_pos] * spec.baseMVA, f32)
+    soc_min = jnp.asarray(spec.soc_min[spec.des_pos] * spec.baseMVA, f32)
+    soc_max = jnp.asarray(spec.soc_max[spec.des_pos] * spec.baseMVA, f32)
 
     def init_state_fn(key, carry):
+        # Built in f32 (the reset branch is hot for ANM6 farms — lanes
+        # genuinely collapse under aggressive actions — and batched f64 is
+        # emulated on TPU); the reset path casts to the env dtype after.
         k_t, k_q, k_soc = jax.random.split(key, 3)
         t0 = jax.random.randint(k_t, (), 0, n_steps_day)
-        s = jnp.zeros(2 * n_dev + n_des + n_gen + K)
+        s = jnp.zeros(2 * n_dev + n_des + n_gen + K, f32)
         # loads at devices 1,3,5; gens at 2,4; DES at 6 (ANM6 layout)
-        loads = P_loads[:, t0]
+        loads = P_loads.astype(f32)[:, t0]
         s = s.at[jnp.array([1, 3, 5])].set(loads)
         s = s.at[jnp.array([1 + n_dev, 3 + n_dev, 5 + n_dev])].set(loads * 0.2)
-        gens = P_maxs[:, t0]
+        gens = P_maxs.astype(f32)[:, t0]
         s = s.at[jnp.array([2, 4])].set(gens)
-        q = q_min_gen + jax.random.uniform(k_q, (n_gen,)) * (q_max_gen - q_min_gen)
+        q = q_min_gen + jax.random.uniform(k_q, (n_gen,), f32) * (q_max_gen - q_min_gen)
         s = s.at[jnp.array([2 + n_dev, 4 + n_dev])].set(q)
-        soc = soc_min + jax.random.uniform(k_soc, (n_des,)) * (soc_max - soc_min)
+        soc = soc_min + jax.random.uniform(k_soc, (n_des,), f32) * (soc_max - soc_min)
         s = s.at[2 * n_dev : 2 * n_dev + n_des].set(soc)
         s = s.at[2 * n_dev + n_des : 2 * n_dev + n_des + n_gen].set(gens)
         s = s.at[-1].set(t0.astype(s.dtype))
@@ -239,9 +247,15 @@ def make_anm6easy_task():
 
     def next_vars_fn(key, s_t, carry, t):
         aux = jnp.mod(s_t[-1] + 1, n_steps_day).astype(jnp.int32)
+        # Gather from tables cast to the state dtype: the casts of these
+        # trace-time constants constant-fold, keeping batched f64 gathers
+        # (emulated on TPU) out of the hot step (see the renewable family's
+        # noise draw for the same x64 trap).
+        loads_t = P_loads.astype(s_t.dtype)
+        maxs_t = P_maxs.astype(s_t.dtype)
         vars = jnp.concatenate(
-            [P_loads[:, aux], P_maxs[:, aux], jnp.array([aux], dtype=P_loads.dtype)]
-        ).astype(s_t.dtype)
+            [loads_t[:, aux], maxs_t[:, aux], aux[None].astype(s_t.dtype)]
+        )
         return vars, carry
 
     return VecTask(

@@ -99,10 +99,14 @@ def main():
         tr.chord_solve = orig
 
     # --- frozen next_vars: constant loads, no per-step RNG for vars.
+    # CONFOUNDED for solve attribution: constant loads at the linearization
+    # point make the warm-started solve near-trivial, so the delta mixes
+    # RNG savings with solve savings.  Use the deterministic-diurnal
+    # ablation below for the RNG-only cost.
     spec = env.spec
     n_vars = spec.n_load + spec.n_gen + task.K
-    const_vars = jnp.zeros(n_vars, jnp.float32).at[: spec.n_load].set(
-        -jnp.asarray(abs(spec.p_min[spec.load_pos]) * spec.baseMVA, jnp.float32) * 0.8)
+    nominal = jnp.asarray(abs(spec.p_min[spec.load_pos]) * spec.baseMVA, jnp.float32)
+    const_vars = jnp.zeros(n_vars, jnp.float32).at[: spec.n_load].set(-nominal * 0.8)
 
     def frozen_vars(key, s_t, carry, t):
         return const_vars.astype(s_t.dtype), carry
@@ -110,6 +114,21 @@ def main():
     task5 = dataclasses.replace(task, next_vars_fn=frozen_vars)
     env5 = VecEnv(task5, dtype=jnp.float32)
     results["frozen next_vars"] = time_scan(env5, batch, autoreset=False)
+
+    # --- deterministic diurnal next_vars: same time_factor load shape and
+    # task carry, noise fixed at 1.0 — solve difficulty comparable to the
+    # full task, so the delta vs "plain step" isolates the per-lane
+    # jax.random.normal draw (threefry bits + erf_inv).
+    def det_diurnal_vars(key, s_t, hour, t):
+        hour = (hour + task.delta_t / 3600.0) % 24.0
+        time_factor = 0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)
+        loads = (-nominal * time_factor).astype(s_t.dtype)
+        tail = jnp.zeros(n_vars - spec.n_load, dtype=s_t.dtype)
+        return jnp.concatenate([loads, tail]), hour
+
+    task6 = dataclasses.replace(task, next_vars_fn=det_diurnal_vars)
+    env6 = VecEnv(task6, dtype=jnp.float32)
+    results["diurnal, no noise RNG"] = time_scan(env6, batch, autoreset=False)
 
     base = results.get("plain step (no autoreset)", results["full (bench workload)"])
     print(f"\n=== {which} B={batch} ===")

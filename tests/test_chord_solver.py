@@ -295,3 +295,28 @@ def test_f32_step_matches_f64(env64):
     _, _, r64, d64, _ = jax.jit(jax.vmap(env64.step))(s64, acts.astype(jnp.float64))
     assert not bool(d32.any()) and not bool(d64.any())
     np.testing.assert_allclose(np.asarray(r32), np.asarray(r64), rtol=2e-3, atol=2e-4)
+
+
+def test_warm_started_worst_lane_iteration_budget():
+    """The in-band one-non-improving-iteration plateau exit keeps the
+    warm-started worst-lane chord iteration count at <=10 on the bench
+    action distribution (it was ~11.4 with the two-iteration exit; see
+    docs/performance.md).  A regression here directly costs batch
+    throughput: under vmap every lane runs until the worst lane stops."""
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    B = 1024
+    lo, hi = env.action_low, env.action_high
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(lambda st, a: jax.vmap(env.step)(st, a))
+    k = jax.random.PRNGKey(8)
+    worst = []
+    for t in range(12):
+        k, ka = jax.random.split(k)
+        acts = lo + jax.random.uniform(ka, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+        state, obs, r, d, info = step(state, acts)
+        diff = np.asarray(info["diff"])
+        assert (diff <= 1e-4).all()
+        worst.append(int(np.asarray(info["n_iter"]).max()))
+    # skip the first two steps (reset transient); warm-started steady state
+    assert max(worst[2:]) <= 10, worst

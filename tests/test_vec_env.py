@@ -298,3 +298,46 @@ def _zero_s0_and_table(task):
     spec = load_network(task.network)
     s0 = np.zeros(spec.n_state + task.K)
     return s0, _diurnal_table(spec, 30, k_gen_extra=task.K)
+
+
+def test_rbg_keys_supported():
+    """farm_keys(impl='rbg') — the TPU-fast RngBitGenerator key flavor —
+    flows through reset, batched autoreset step, and scan rollouts with
+    healthy solves (docs/performance.md, next_vars RNG cost)."""
+    from gym_anm_tpu.vec import farm_keys
+
+    env = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
+    keys = farm_keys(0, 16, impl="rbg")
+    assert jax.dtypes.issubdtype(keys.dtype, jax.dtypes.prng_key)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    assert np.isfinite(np.asarray(obs)).all()
+    acts = jax.vmap(env.random_policy(), in_axes=(0, 0, None))(
+        jax.random.split(jax.random.key(1, impl="rbg"), 16), obs, 0)
+    state, obs, r, d, info = jax.jit(env.step_autoreset_batch)(state, acts)
+    assert np.asarray(info["diff"]).max() <= 1e-4
+    assert np.isfinite(np.asarray(r)).all()
+    # per-lane streams are independent: two lanes see different loads
+    assert not np.allclose(np.asarray(obs)[0], np.asarray(obs)[1])
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [make_ieee33_task, make_ieee33_renewable_task, make_ieee33_multicap_task,
+     make_anm6easy_task],
+)
+def test_no_batched_f64_in_f32_step(factory):
+    """Under the package's global x64, an unannotated jax.random draw (or
+    table gather) silently computes in float64 — emulated and sequential
+    on TPU.  The multicap load-noise draw cost 0.46 ms/step at B=8192
+    this way (docs/performance.md).  Guard: the lowered f32 autoreset
+    step contains no batch-dimensioned f64 tensor (per-lane f64 scalars
+    like the hour-of-day carry are fine; so are constant-folded tables)."""
+    import re
+
+    env = VecEnv(factory(), dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    acts = jnp.zeros((4, env.n_action), jnp.float32)
+    txt = jax.jit(env.step_autoreset_batch).lower(state, acts).as_text()
+    leaks = sorted(set(re.findall(r"tensor<4x\d+[x\d]*xf64>", txt)))
+    assert not leaks, leaks
