@@ -34,16 +34,20 @@ class _Spec:
         self.base = float(spec.baseMVA)
         sl = env._action_slices
         self.sl_pgen, self.sl_qcap, self.sl_tap = sl["P_gen"], sl["Q_cap"], sl["tap"]
-        # generators (non-slack): bus position + renewable mask
+        npdt = np.dtype(env.dtype)
+        # generators (non-slack): bus position + renewable mask.  Bound
+        # tables are stored AT the env dtype: f64 numpy constants mixed
+        # into f32 lane math promote the whole expression to (TPU-emulated)
+        # float64 under the package's global x64.
         gp = spec.gen_nonslack_pos
         self.gen_bus = np.asarray(spec.dev_bus[gp])
         self.gen_is_rer = np.isin(gp, spec.rer_pos)
-        self.gen_p_min = np.asarray(spec.p_min[gp])
+        self.gen_p_min = np.asarray(spec.p_min[gp], npdt)
         # capacitors: bus position + Q bounds (MVAr)
         cp = spec.cap_pos
         self.cap_bus = np.asarray(spec.dev_bus[cp])
-        self.cap_q_max = np.asarray(spec.q_max[cp]) * self.base
-        self.cap_q_min = np.asarray(spec.q_min[cp]) * self.base
+        self.cap_q_max = np.asarray(spec.q_max[cp] * self.base, npdt)
+        self.cap_q_min = np.asarray(spec.q_min[cp] * self.base, npdt)
         # OLTC: regulated (to-) bus position + tap bounds
         ob = np.asarray(tb.oltc_branch)
         self.oltc_t_bus = np.asarray(spec.br_t)[ob] if len(ob) else np.zeros(0, int)

@@ -341,3 +341,20 @@ def test_no_batched_f64_in_f32_step(factory):
     txt = jax.jit(env.step_autoreset_batch).lower(state, acts).as_text()
     leaks = sorted(set(re.findall(r"tensor<4x\d+[x\d]*xf64>", txt)))
     assert not leaks, leaks
+
+
+def test_no_batched_f64_in_expert_zoo():
+    """Same x64 guard for the on-device expert zoo (f64 numpy bound tables
+    mixed into lane math promote the whole action expression)."""
+    import re
+
+    from gym_anm_tpu.vec.experts import make_expert_zoo
+
+    env = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    for ctl in make_expert_zoo(env):
+        carry = jax.vmap(ctl.init_carry)(keys)
+        txt = jax.jit(jax.vmap(ctl.act)).lower(keys, state, obs, carry).as_text()
+        leaks = sorted(set(re.findall(r"tensor<4x\d+[x\d]*xf64>", txt)))
+        assert not leaks, (ctl.name, leaks)
