@@ -85,4 +85,5 @@ def vector_to_env_state(env, s0, key=None, oltc_tap=None):
         task=env.task.init_task_fn(k_task),
         terminated=jnp.logical_not(out.stable),
         t=jnp.zeros((), jnp.int32),
+        shaping=env.task.init_shape_fn(env.dtype),
     )

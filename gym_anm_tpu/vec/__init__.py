@@ -5,6 +5,7 @@ Submodules: :mod:`.controllers` (on-device L0-L5 suite), :mod:`.experts`
 """
 
 from .core import EnvState, VecEnv, VecTask, farm_keys
+from .obs import ObsPlan, make_obs_plan
 from .tasks import (
     make_anm6easy_task,
     make_ieee33_multicap_task,
@@ -19,6 +20,9 @@ __all__ = [
     "VecEnv",
     "VecTask",
     "farm_keys",
+    "GymVectorEnv",
+    "ObsPlan",
+    "make_obs_plan",
     "make_two_bus_task",
     "make_ieee33_task",
     "make_ieee33_renewable_task",
@@ -26,3 +30,13 @@ __all__ = [
     "make_ieee33_unequal_task",
     "make_anm6easy_task",
 ]
+
+
+def __getattr__(name):
+    # Lazy: the Gymnasium adapter pulls in gymnasium, which the pure
+    # vec tier otherwise never imports.
+    if name == "GymVectorEnv":
+        from .gym_vector import GymVectorEnv
+
+        return GymVectorEnv
+    raise AttributeError(f"module 'gym_anm_tpu.vec' has no attribute {name!r}")

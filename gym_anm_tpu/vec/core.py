@@ -67,6 +67,11 @@ class EnvState(NamedTuple):
     # (successive grid states are close, halving iteration counts).  The
     # solver falls back to flat start when entries are non-finite.
     v_guess: jax.Array      # [2·(n_bus−1)]
+    # Reward-shaping carry (VecTask.shape_reward_fn), e.g. the unequal-caps
+    # previous set-points + switching counters.  Persists across autoresets,
+    # like the reference tracker (ieee33_unequal_capacitors.py:118-125 —
+    # initialized in __init__, never cleared by reset()).
+    shaping: Any = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +95,16 @@ class VecTask:
     next_vars_fn: Callable
     init_task_fn: Callable = lambda key: ()
     rates: Optional[np.ndarray] = None  # override the spec's branch rates
+    # Optional post-step reward shaping with per-lane carried state (the
+    # vec equivalent of a compat subclass wrapping step(), e.g. the
+    # unequal-capacitor switching costs).  Called AFTER terminal-reward
+    # selection and absorbing-lane zeroing, exactly where the reference
+    # subclass adjusts the returned reward:
+    #   shape_reward_fn(carry, action, reward) -> (new_carry, reward, extras)
+    # with ``extras`` merged into the step info dict.  ``init_shape_fn``
+    # builds the initial per-lane carry (receives the env compute dtype).
+    shape_reward_fn: Optional[Callable] = None
+    init_shape_fn: Callable = lambda dtype: ()
     # Optional chord linearization point [2(n_bus-1)] for the f32 solver —
     # the task's typical solved operating state (host-computed).  None =
     # flat start.  Iteration-count tuning only; the stopping rule is
@@ -106,9 +121,15 @@ class VecEnv:
     compute precision: float64 for CPU parity work, float32 for TPU
     throughput (the NR tolerance of 1e-5 is comfortably reachable in f32
     for these network scales).
+
+    ``obs`` selects the observation space, in the compat/reference format
+    (anm_env.py:516-540): the string ``"state"`` (fully observable — the
+    flat MDP state vector, the default and the fast path) or a list of
+    ``(variable, ids[, unit])`` triples, compiled once into static gathers
+    over the transition output (:mod:`gym_anm_tpu.vec.obs`).
     """
 
-    def __init__(self, task: VecTask, dtype=jnp.float32):
+    def __init__(self, task: VecTask, dtype=jnp.float32, obs="state"):
         self.task = task
         self.dtype = jnp.dtype(dtype)
         self.spec: NetworkSpec = load_network(task.network)
@@ -153,8 +174,24 @@ class VecEnv:
                 np.full(task.K, np.inf),
             ]
         )
-        self.obs_low = jnp.asarray(lows, dtype=dtype)
-        self.obs_high = jnp.asarray(highs, dtype=dtype)
+        if isinstance(obs, str) and obs == "state":
+            self._obs_plan = None
+            self.n_obs = self.n_state
+            self.obs_low = jnp.asarray(lows, dtype=dtype)
+            self.obs_high = jnp.asarray(highs, dtype=dtype)
+        elif isinstance(obs, list):
+            from .obs import make_obs_plan
+
+            self._obs_plan = make_obs_plan(spec, task.K, obs)
+            self.n_obs = self._obs_plan.n
+            self.obs_low = jnp.asarray(self._obs_plan.low, dtype=dtype)
+            self.obs_high = jnp.asarray(self._obs_plan.high, dtype=dtype)
+        else:
+            from ..errors import ObsSpaceError
+
+            raise ObsSpaceError(
+                f"obs must be 'state' or a list of (var, ids, unit) triples, got {obs!r}"
+            )
 
         self._action_slices = self._make_action_slices()
 
@@ -185,6 +222,14 @@ class VecEnv:
 
     def observation(self, state_vec):
         return jnp.clip(state_vec, self.obs_low, self.obs_high)
+
+    def _obs_from_out(self, out, soc_pu, aux):
+        """Observation from one transition output (obs-plan-aware)."""
+        if self._obs_plan is None:
+            s_vec = self._state_vector(out.dev_p, out.dev_q, soc_pu, out.gen_p_pot, aux)
+            return self.observation(s_vec)
+        o = self._obs_plan.extract(out, soc_pu, aux).astype(self.dtype)
+        return jnp.clip(o, self.obs_low, self.obs_high)
 
     # ------------------------------------------------------------------
     def _run_transition(self, P_load, P_pot, P_gen, Q_gen, P_des, Q_des, Q_cap,
@@ -271,9 +316,9 @@ class VecEnv:
             terminated=jnp.logical_not(out.stable),
             t=jnp.zeros((), jnp.int32),
             v_guess=solution_guess(out),
+            shaping=self.task.init_shape_fn(self.dtype),
         )
-        s_vec = self._state_vector(out.dev_p, out.dev_q, soc, out.gen_p_pot, aux)
-        return state, self.observation(s_vec)
+        return state, self._obs_from_out(out, soc, aux)
 
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action):
@@ -304,6 +349,17 @@ class VecEnv:
         reward = jnp.where(state.terminated, 0.0, reward)
         now_terminated = jnp.logical_or(state.terminated, terminated)
 
+        # Post-step reward shaping (e.g. switching costs) — applied after
+        # terminal selection, exactly like the compat subclass wrapping
+        # step() (ieee33_unequal_capacitors.py:144-169).
+        shaping_extras = {}
+        if self.task.shape_reward_fn is not None:
+            shaping, reward, shaping_extras = self.task.shape_reward_fn(
+                state.shaping, action, reward
+            )
+        else:
+            shaping = state.shaping
+
         new_state = EnvState(
             key=key,
             soc=jnp.where(state.terminated, state.soc, out.des_soc),
@@ -319,12 +375,14 @@ class VecEnv:
             # Keep the last STABLE solution as the next warm start: a
             # diverged solve's iterate would poison subsequent solves.
             v_guess=jnp.where(out.stable, solution_guess(out), state.v_guess),
+            shaping=shaping,
         )
-        s_vec = self._state_vector(out.dev_p, out.dev_q, out.des_soc, out.gen_p_pot,
-                                   aux.astype(self.dtype))
-        obs = jnp.where(now_terminated, 0.0, self.observation(s_vec))
+        obs = jnp.where(
+            now_terminated, 0.0,
+            self._obs_from_out(out, out.des_soc, aux.astype(self.dtype)),
+        )
         info = {"e_loss": e_loss, "penalty": penalty, "n_iter": out.n_iter,
-                "diff": out.diff}
+                "diff": out.diff, **shaping_extras}
         return new_state, obs, reward, now_terminated, info
 
     def step_autoreset(self, state: EnvState, action):
@@ -343,6 +401,9 @@ class VecEnv:
             reset_state,
             new_state._replace(key=key),
         )
+        # The shaping carry persists across resets (reference semantics:
+        # the tracker lives on the env object, reset() never clears it).
+        merged = merged._replace(shaping=new_state.shaping)
         obs = jnp.where(done, reset_obs, obs)
         return merged, obs, reward, done, info
 
@@ -374,6 +435,8 @@ class VecEnv:
                 return jnp.where(d, r, n)
 
             merged = jax.tree_util.tree_map(sel, reset_states, new_states)
+            # Shaping carry persists across resets (see step_autoreset).
+            merged = merged._replace(shaping=new_states.shaping)
             return merged, jnp.where(done[:, None], reset_obs, obs)
 
         def no_resets(operand):
@@ -386,16 +449,27 @@ class VecEnv:
         return merged, obs, reward, done, info
 
     # ------------------------------------------------------------------
-    def rollout(self, state: EnvState, policy_fn, n_steps: int, autoreset=True):
+    def rollout(self, state: EnvState, policy_fn, n_steps: int, autoreset=True,
+                obs0=None):
         """Run ``n_steps`` on-device under ``lax.scan``.
 
         policy_fn(key, obs, t) -> action.  Returns (final_state, traj) where
-        traj stacks (obs, action, reward, done) along time.
+        traj stacks (obs, action, reward, done) along time.  For a
+        partial-observation env (``obs=`` triples), pass the ``obs0``
+        returned by :meth:`reset`/:meth:`step` — it cannot be recomputed
+        from the carried state alone (it may include branch/bus solution
+        quantities).
         """
         step = self.step_autoreset if autoreset else self.step
 
-        s_vec = self._state_vector(state.dev_p, state.dev_q, state.soc, state.p_pot, state.aux)
-        obs0 = jnp.where(state.terminated, 0.0, self.observation(s_vec))
+        if obs0 is None:
+            if self._obs_plan is not None:
+                raise ValueError(
+                    "rollout over a partial-observation env requires obs0 "
+                    "(the observation returned by reset/step)"
+                )
+            s_vec = self._state_vector(state.dev_p, state.dev_q, state.soc, state.p_pot, state.aux)
+            obs0 = jnp.where(state.terminated, 0.0, self.observation(s_vec))
 
         def body(carry, t):
             st, obs = carry

@@ -1,0 +1,139 @@
+"""Gymnasium ``VectorEnv`` adapter over the pure-functional vec tier.
+
+The vec tier's native interface is pure functions (reset/step over an
+``EnvState`` pytree) designed for ``jit``/``vmap``/``lax.scan``; this module
+wraps one :class:`~gym_anm_tpu.vec.core.VecEnv` in the standard
+``gymnasium.vector.VectorEnv`` API so off-the-shelf RL tooling (SB3-style
+training loops, CleanRL scripts, Gymnasium vector wrappers) can drive the
+batched TPU/CPU environment without writing any JAX.
+
+Semantics follow Gymnasium's ``AutoresetMode.SAME_STEP`` (the reference's
+``ANMEnv`` terminal convention maps onto it naturally): on the step where a
+lane terminates, the returned observation is the RESET observation of the
+new episode, and the terminal observation — the reference's zero vector
+(anm_env.py:444-448) — rides in ``infos["final_obs"]`` with the usual
+``_final_obs`` mask.  Rewards/terminations are the reference MDP's
+(terminal reward −c2/(1−γ), reward clipping, ≤100 reset retries).
+
+Performance note: this adapter crosses host↔device every ``step`` call, so
+it runs at dispatch-latency speed (notably through a tunneled TPU), not at
+the scan-fused millions-of-steps/s the native tier reaches.  Use it for
+API interop and tooling; for throughput, use :meth:`VecEnv.rollout`
+(``lax.scan`` on device) or a jitted loop over
+:meth:`VecEnv.step_autoreset_batch`.
+"""
+
+from __future__ import annotations
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gymnasium.vector import AutoresetMode, VectorEnv
+from gymnasium.vector.utils import batch_space
+
+from .core import VecEnv as _VecEnv, VecTask, farm_keys
+
+__all__ = ["GymVectorEnv"]
+
+
+class GymVectorEnv(VectorEnv):
+    """A ``gymnasium.vector.VectorEnv`` view of a batched :class:`VecEnv`.
+
+    Parameters
+    ----------
+    task : VecTask | VecEnv
+        A task factory result (e.g. ``make_ieee33_multicap_task()``) or an
+        already-constructed :class:`VecEnv`.
+    num_envs : int
+        Number of parallel lanes.
+    dtype : jnp dtype
+        Compute precision when ``task`` is a :class:`VecTask` (float32 for
+        throughput, float64 for parity-grade numerics).
+    seed : int
+        Default RNG seed; ``reset(seed=None)`` advances an internal counter
+        from it so successive unseeded resets differ.
+    rng_impl : str | None
+        ``None`` = threefry (deterministic across backends); ``"rbg"`` =
+        the TPU-native fast RNG (see :func:`farm_keys`).
+    obs : str | list
+        Observation spec forwarded to :class:`VecEnv` when ``task`` is a
+        :class:`VecTask` — ``"state"`` or compat-style
+        ``(variable, ids[, unit])`` triples.
+    """
+
+    metadata = {"autoreset_mode": AutoresetMode.SAME_STEP, "render_modes": []}
+    render_mode = None
+
+    def __init__(self, task, num_envs: int, dtype=jnp.float32, seed: int = 0,
+                 rng_impl=None, obs="state"):
+        self.venv = task if isinstance(task, _VecEnv) else _VecEnv(task, dtype=dtype, obs=obs)
+        self.num_envs = int(num_envs)
+        self._rng_impl = rng_impl
+        self._seed0 = int(seed)
+        self._reset_count = 0
+        self._state = None
+
+        np_dtype = np.dtype(self.venv.dtype)
+        self.single_observation_space = gym.spaces.Box(
+            low=np.asarray(self.venv.obs_low, np_dtype),
+            high=np.asarray(self.venv.obs_high, np_dtype),
+            dtype=np_dtype,
+        )
+        self.single_action_space = gym.spaces.Box(
+            low=np.asarray(self.venv.action_low, np_dtype),
+            high=np.asarray(self.venv.action_high, np_dtype),
+            dtype=np_dtype,
+        )
+        self.observation_space = batch_space(self.single_observation_space, num_envs)
+        self.action_space = batch_space(self.single_action_space, num_envs)
+
+        self._reset_jit = jax.jit(jax.vmap(self.venv.reset))
+        # Donate the carried state: the previous step's buffers are dead the
+        # moment the new state exists (the adapter owns the only reference).
+        self._step_jit = jax.jit(self.venv.step_autoreset_batch, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        if seed is None:
+            seed = self._seed0 + self._reset_count
+        self._reset_count += 1
+        keys = farm_keys(int(seed), self.num_envs, impl=self._rng_impl)
+        self._state, obs = self._reset_jit(keys)
+        return np.asarray(jax.device_get(obs)), {}
+
+    def step(self, actions):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        acts = jnp.asarray(actions, dtype=self.venv.dtype)
+        self._state, obs, reward, done, info = self._step_jit(self._state, acts)
+        obs_np, reward_np, done_np, info = jax.device_get((obs, reward, done, info))
+        obs_np = np.asarray(obs_np)
+        terminations = np.asarray(done_np, dtype=bool)
+        truncations = np.zeros(self.num_envs, dtype=bool)
+
+        infos: dict = {k: np.asarray(v) for k, v in info.items()}
+        if terminations.any():
+            # SAME_STEP convention: the terminal observation (the
+            # reference's zero vector) and a per-lane final info, masked.
+            final_obs = np.full(self.num_envs, None, dtype=object)
+            final_info = np.full(self.num_envs, None, dtype=object)
+            zero = np.zeros(self.venv.n_obs, dtype=obs_np.dtype)
+            for i in np.flatnonzero(terminations):
+                final_obs[i] = zero.copy()
+                final_info[i] = {}
+            infos["final_obs"] = final_obs
+            infos["_final_obs"] = terminations.copy()
+            infos["final_info"] = final_info
+            infos["_final_info"] = terminations.copy()
+
+        return obs_np, np.asarray(reward_np), terminations, truncations, infos
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self):
+        """The device-resident :class:`EnvState` pytree (advanced use)."""
+        return self._state
+
+    def close_extras(self, **kwargs):
+        self._state = None

@@ -1,0 +1,254 @@
+"""Compiled observation plans for the vec tier.
+
+The compat tier supports partial observability through a list of
+``(variable, ids, unit)`` triples gathered per step from the simulator's
+nested state dict (reference ``anm_env.py:516-611``).  This module compiles
+the SAME spec format into a pure extraction function over the vectorized
+transition output: every triple becomes a static gather (positions resolved
+at build time from raw IDs) plus a constant unit scale — so under
+``jit``/``vmap`` the whole observation is a handful of fused gathers, with
+no per-step Python.
+
+Supported variables and units mirror the compat simulator's state dict
+(``env/simulator.py:_gather_state``), including its reference quirks:
+``bus_i_magn`` in kA is ``|i|·baseMVA/baseKV`` (no √3), ``branch_i_magn``
+is ``sign(i).real·|i|`` = Re(i), and the ``gen_p_max`` MW upper BOUND uses
+``q_max`` (SURVEY.md §2.2(2)).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ObsNotSupportedError, ObsSpaceError, UnitsNotSupportedError
+from ..specs.constants import STATE_VARIABLES
+
+__all__ = ["ObsPlan", "make_obs_plan"]
+
+
+class ObsPlan(NamedTuple):
+    """A compiled observation spec.
+
+    ``extract(out, soc_pu, aux)`` maps one lane's transition output (a
+    :class:`~gym_anm_tpu.physics.transition.TransitionOut`), its SoC vector
+    (p.u.) and aux variables to the observation vector; vmap over lanes.
+    ``low``/``high`` are the observation-space bounds (compat
+    ``observation_bounds`` semantics — observations are clipped to them).
+    """
+
+    extract: Callable
+    low: np.ndarray
+    high: np.ndarray
+    values: tuple  # the expanded (var, ids, unit) triples, for introspection
+
+    @property
+    def n(self):
+        return len(self.low)
+
+
+def _expand(spec, K, values):
+    """'all' → explicit ID lists; missing unit → the variable's default
+    (reference anm_env.py:303-311 + 542-568)."""
+    out = []
+    for o in values:
+        if len(o) == 2:
+            var, ids = o
+            unit = STATE_VARIABLES[var][0] if var in STATE_VARIABLES else None
+        else:
+            var, ids, unit = o
+        if var not in STATE_VARIABLES:
+            raise ObsNotSupportedError(var, list(STATE_VARIABLES.keys()))
+        if isinstance(ids, str) and ids == "all":
+            if "bus" in var:
+                ids = [int(i) for i in spec.bus_ids]
+            elif "dev" in var:
+                ids = [int(i) for i in spec.dev_ids]
+            elif "des" in var:
+                ids = [int(spec.dev_ids[p]) for p in spec.des_pos]
+            elif "gen" in var:
+                ids = [int(spec.dev_ids[p]) for p in spec.gen_nonslack_pos]
+            elif "branch" in var:
+                ids = [(int(spec.bus_ids[f]), int(spec.bus_ids[t]))
+                       for f, t in zip(spec.br_f, spec.br_t)]
+            elif var == "aux":
+                ids = list(range(K))
+            else:  # pragma: no cover — guarded by STATE_VARIABLES above
+                raise ObsNotSupportedError(var, list(STATE_VARIABLES.keys()))
+        out.append((var, list(ids), unit))
+    return out
+
+
+def _check_unit(var, unit, allowed):
+    if unit not in allowed:
+        raise UnitsNotSupportedError(unit, allowed, var)
+
+
+def make_obs_plan(spec, K, values):
+    """Compile a list of ``(variable, ids[, unit])`` triples into an
+    :class:`ObsPlan` for ``spec`` (a :class:`~gym_anm_tpu.specs.network.
+    NetworkSpec`) with ``K`` aux variables."""
+    if not isinstance(values, list):
+        raise ObsSpaceError(f"expected a list of (var, ids, unit) triples, got {values!r}")
+    values = _expand(spec, K, values)
+    base = spec.baseMVA
+
+    bus_pos = {int(i): k for k, i in enumerate(spec.bus_ids)}
+    dev_pos = {int(i): k for k, i in enumerate(spec.dev_ids)}
+    des_of_dev = {int(spec.dev_ids[p]): k for k, p in enumerate(spec.des_pos)}
+    gen_of_dev = {int(spec.dev_ids[p]): k for k, p in enumerate(spec.gen_nonslack_pos)}
+    br_pos = {(int(spec.bus_ids[f]), int(spec.bus_ids[t])): k
+              for k, (f, t) in enumerate(zip(spec.br_f, spec.br_t))}
+
+    seg_fns, lows, highs = [], [], []
+
+    def _positions(var, ids, table):
+        try:
+            return np.array([table[i if not isinstance(i, list) else tuple(i)]
+                             for i in ids], dtype=np.int64)
+        except KeyError as e:
+            raise ObsSpaceError(f"unknown id {e.args[0]!r} for observation {var!r}") from e
+
+    for var, ids, unit in values:
+        if var.startswith("bus"):
+            idx = _positions(var, ids, bus_pos)
+        elif var in ("dev_p", "dev_q"):
+            idx = _positions(var, ids, dev_pos)
+        elif var == "des_soc":
+            idx = _positions(var, ids, des_of_dev)
+        elif var == "gen_p_max":
+            idx = _positions(var, ids, gen_of_dev)
+        elif var.startswith("branch"):
+            ids = [tuple(i) for i in ids]
+            idx = _positions(var, ids, br_pos)
+        elif var == "aux":
+            idx = np.array(ids, dtype=np.int64)
+            if (idx < 0).any() or (idx >= K).any():
+                raise ObsSpaceError(f"aux ids {ids} out of range for K={K}")
+        jidx = jnp.asarray(idx)
+        is_slack = np.array([bus_pos.get(i) == spec.slack_pos for i in ids]) \
+            if var.startswith("bus") else None
+
+        if var == "bus_p":
+            _check_unit(var, unit, ("MW", "pu"))
+            s = base if unit == "MW" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.bus_p[j] * s)
+            lows.append(spec.bus_p_min[idx] * s)
+            highs.append(spec.bus_p_max[idx] * s)
+        elif var == "bus_q":
+            _check_unit(var, unit, ("MVAr", "pu"))
+            s = base if unit == "MVAr" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.bus_q[j] * s)
+            lows.append(spec.bus_q_min[idx] * s)
+            highs.append(spec.bus_q_max[idx] * s)
+        elif var == "bus_v_magn":
+            _check_unit(var, unit, ("pu", "kV"))
+            s = spec.base_kv[idx] if unit == "kV" else np.ones(len(idx))
+            sj = jnp.asarray(s)
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=sj:
+                           jnp.sqrt(out.bus_v_re[j] ** 2 + out.bus_v_im[j] ** 2) * s)
+            lows.append(np.where(is_slack, spec.v_slack * s, -np.inf))
+            highs.append(np.where(is_slack, spec.v_slack * s, np.inf))
+        elif var == "bus_v_ang":
+            _check_unit(var, unit, ("degree", "rad"))
+            s = 180.0 / np.pi if unit == "degree" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s:
+                           jnp.arctan2(out.bus_v_im[j], out.bus_v_re[j]) * s)
+            half = 180.0 if unit == "degree" else np.pi
+            lows.append(np.where(is_slack, 0.0, -half))
+            highs.append(np.where(is_slack, 0.0, half))
+        elif var == "bus_i_magn":
+            _check_unit(var, unit, ("pu", "kA"))
+            # kA quirk: |i|·baseMVA/baseKV, no √3 (simulator.py:646).
+            s = base / spec.base_kv[idx] if unit == "kA" else np.ones(len(idx))
+            sj = jnp.asarray(s)
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=sj:
+                           jnp.sqrt(out.bus_i_re[j] ** 2 + out.bus_i_im[j] ** 2) * s)
+            lows.append(np.full(len(idx), -np.inf))
+            highs.append(np.full(len(idx), np.inf))
+        elif var == "bus_i_ang":
+            _check_unit(var, unit, ("degree", "rad"))
+            s = 180.0 / np.pi if unit == "degree" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s:
+                           jnp.arctan2(out.bus_i_im[j], out.bus_i_re[j]) * s)
+            half = 180.0 if unit == "degree" else np.pi
+            lows.append(np.full(len(idx), -half))
+            highs.append(np.full(len(idx), half))
+        elif var == "dev_p":
+            _check_unit(var, unit, ("MW", "pu"))
+            s = base if unit == "MW" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.dev_p[j] * s)
+            lows.append(spec.p_min[idx] * s)
+            highs.append(spec.p_max[idx] * s)
+        elif var == "dev_q":
+            _check_unit(var, unit, ("MVAr", "pu"))
+            s = base if unit == "MVAr" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.dev_q[j] * s)
+            lows.append(spec.q_min[idx] * s)
+            highs.append(spec.q_max[idx] * s)
+        elif var == "des_soc":
+            _check_unit(var, unit, ("MWh", "pu"))
+            s = base if unit == "MWh" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: soc[j] * s)
+            lows.append(spec.soc_min[spec.des_pos][idx] * s)
+            highs.append(spec.soc_max[spec.des_pos][idx] * s)
+        elif var == "gen_p_max":
+            _check_unit(var, unit, ("MW", "pu"))
+            s = base if unit == "MW" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.gen_p_pot[j] * s)
+            gpos = spec.gen_nonslack_pos[idx]
+            lows.append(spec.p_min[gpos] * s)
+            # The reference's MW upper bound uses q_max (simulator.py:470).
+            highs.append((spec.q_max[gpos] * base) if unit == "MW" else spec.p_max[gpos])
+        elif var == "branch_p":
+            _check_unit(var, unit, ("MW", "pu"))
+            s = base if unit == "MW" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.br_p_from[j] * s)
+            lows.append(np.full(len(idx), -np.inf))
+            highs.append(np.full(len(idx), np.inf))
+        elif var == "branch_q":
+            _check_unit(var, unit, ("MVAr", "pu"))
+            s = base if unit == "MVAr" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.br_q_from[j] * s)
+            lows.append(np.full(len(idx), -np.inf))
+            highs.append(np.full(len(idx), np.inf))
+        elif var == "branch_s":
+            _check_unit(var, unit, ("MVA", "pu"))
+            s = base if unit == "MVA" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s: out.br_s_signed[j] * s)
+            lows.append(np.full(len(idx), -np.inf))
+            highs.append(np.full(len(idx), np.inf))
+        elif var == "branch_i_magn":
+            _check_unit(var, unit, ("pu",))
+            # sign(i).real·|i| == Re(i) (simulator.py:675 verbatim).
+            seg_fns.append(lambda out, soc, aux, j=jidx: out.br_i_from_re[j])
+            lows.append(np.full(len(idx), -np.inf))
+            highs.append(np.full(len(idx), np.inf))
+        elif var == "branch_i_ang":
+            _check_unit(var, unit, ("degree", "rad"))
+            s = 180.0 / np.pi if unit == "degree" else 1.0
+            seg_fns.append(lambda out, soc, aux, j=jidx, s=s:
+                           jnp.arctan2(out.br_i_from_im[j], out.br_i_from_re[j]) * s)
+            half = 180.0 if unit == "degree" else np.pi
+            lows.append(np.full(len(idx), -half))
+            highs.append(np.full(len(idx), half))
+        elif var == "aux":
+            seg_fns.append(lambda out, soc, aux, j=jidx: aux[j])
+            lows.append(np.full(len(idx), -np.inf))
+            highs.append(np.full(len(idx), np.inf))
+        else:  # pragma: no cover
+            raise ObsNotSupportedError(var, list(STATE_VARIABLES.keys()))
+
+    low = np.concatenate(lows) if lows else np.zeros(0)
+    high = np.concatenate(highs) if highs else np.zeros(0)
+
+    def extract(out, soc_pu, aux):
+        segs = [f(out, soc_pu, aux) for f in seg_fns]
+        dt = out.dev_p.dtype
+        return (jnp.concatenate([s.astype(dt) for s in segs])
+                if segs else jnp.zeros(0, dt))
+
+    return ObsPlan(extract=extract, low=low, high=high,
+                   values=tuple((v, tuple(i), u) for v, i, u in values))

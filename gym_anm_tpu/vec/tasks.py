@@ -198,11 +198,53 @@ def make_ieee33_multicap_task(load_scale=1.0, scenario="default"):
     )
 
 
-def make_ieee33_unequal_task(load_scale=1.0, scenario="default"):
-    """IEEE33 + renewables + 6 unequal capacitors, 17-dim actions.
-    (Switching costs are a wrapper-level concern; see vec rollout helpers.)"""
-    return _make_renewable_family_task(
+def make_ieee33_unequal_task(load_scale=1.0, scenario="default",
+                             switching_cost_multiplier=1.0):
+    """IEEE33 + renewables + 6 unequal capacitors, 17-dim actions, with the
+    per-step capacitor switching-cost accounting of the compat env
+    (ieee33_unequal_capacitors.py:144-169) as a reward-shaping hook.
+
+    Semantics mirrored exactly, including the reference's pairing quirk:
+    the per-capacitor base costs are sorted by rating LARGEST-FIRST while
+    the switch detections are in action order, and the two are multiplied
+    index-wise (reference ieee33_unequal_capacitors.py:118-125,146-149).
+    The previous-set-point tracker persists across resets, like the
+    reference's (initialized in __init__, never cleared)."""
+    import dataclasses
+
+    task = _make_renewable_family_task(
         create_unequal_capacitor_network(), "ieee33_unequal", load_scale, scenario
+    )
+    spec = load_network(task.network)
+    ratings = np.sort(spec.q_max[spec.cap_pos] * spec.baseMVA)[::-1]
+    base_costs = 0.01 * ratings * switching_cost_multiplier
+    n_cap = spec.n_cap
+    cap_lo = 2 * spec.n_gen + 2 * spec.n_des  # caps in [P_gen,Q_gen,P_des,Q_des,Q_cap,tap]
+
+    def init_shape_fn(dtype):
+        return (
+            jnp.zeros(n_cap, dtype),        # previous cap set-points (MVAr)
+            jnp.zeros((), jnp.int32),       # total switches
+            jnp.zeros((), dtype),           # cumulative switching cost
+        )
+
+    def shape_reward_fn(carry, action, reward):
+        prev, n_switches, cum_cost = carry
+        cap_a = action[cap_lo : cap_lo + n_cap].astype(prev.dtype)
+        switches = jnp.abs(cap_a - prev) > 0.01
+        costs = jnp.asarray(base_costs, reward.dtype)
+        step_cost = jnp.sum(jnp.where(switches, costs, 0.0))
+        n_switches = n_switches + switches.sum().astype(jnp.int32)
+        cum_cost = cum_cost + step_cost.astype(cum_cost.dtype)
+        extras = {
+            "switching_cost": step_cost,
+            "total_switches": n_switches,
+            "cumulative_switching_cost": cum_cost,
+        }
+        return (cap_a, n_switches, cum_cost), reward - step_cost, extras
+
+    return dataclasses.replace(
+        task, shape_reward_fn=shape_reward_fn, init_shape_fn=init_shape_fn
     )
 
 

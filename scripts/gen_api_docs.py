@@ -27,6 +27,8 @@ MODULES = [
     ("gym_anm_tpu.compat.anm_env", "Gymnasium base environment"),
     ("gym_anm_tpu.compat", "Concrete compat environments"),
     ("gym_anm_tpu.vec.core", "Vectorized environment engine"),
+    ("gym_anm_tpu.vec.gym_vector", "Gymnasium VectorEnv adapter"),
+    ("gym_anm_tpu.vec.obs", "Compiled observation plans"),
     ("gym_anm_tpu.vec.tasks", "Vectorized task definitions"),
     ("gym_anm_tpu.vec.controllers", "Vectorized L0-L5 controllers"),
     ("gym_anm_tpu.vec.experts", "Vectorized heuristic experts"),

@@ -300,6 +300,44 @@ def _zero_s0_and_table(task):
     return s0, _diurnal_table(spec, 30, k_gen_extra=task.K)
 
 
+def test_cross_tier_trajectory_unequal_switching():
+    """Unequal-caps env: rewards INCLUDING the per-step switching costs and
+    the three switching info fields must match the compat tier step for
+    step (ieee33_unequal_capacitors.py:144-169 semantics, incl. the
+    rating-sorted-costs vs action-ordered-switches pairing quirk)."""
+    from gym_anm_tpu.compat import IEEE33UnequalCapacitorsEnv
+    from gym_anm_tpu.vec import make_ieee33_unequal_task
+
+    task = make_ieee33_unequal_task()
+    s0, table = _zero_s0_and_table(task)
+    env_v = VecEnv(_injected_vec(task, s0, table), dtype=jnp.float32)
+    env_c = _injected_compat(IEEE33UnequalCapacitorsEnv, s0, table)
+
+    env_c.reset(seed=0)
+    state_v, _ = env_v.reset(jax.random.PRNGKey(0))
+    assert state_v.shaping[0].shape == (6,)
+    rng = np.random.default_rng(7)
+    lo, hi = np.asarray(env_v.action_low, float), np.asarray(env_v.action_high, float)
+    step_v = jax.jit(env_v.step)
+    for t in range(20):
+        # Quantize cap entries to a 0.04 grid so successive deltas are
+        # multiples of 0.04 — never AT the 0.01 switch threshold, where
+        # f32 and f64 could disagree on the strict > comparison.
+        a = rng.uniform(lo, hi)
+        a[10:16] = np.floor(a[10:16] / 0.04) * 0.04  # floor: stays in [0, hi]
+        _, r_c, term_c, _, info_c = env_c.step(a)
+        state_v, _, r_v, done_v, info_v = step_v(state_v, jnp.asarray(a, env_v.dtype))
+        assert not term_c and not bool(done_v), f"step {t}: divergence"
+        np.testing.assert_allclose(float(r_v), r_c, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"step {t} reward")
+        np.testing.assert_allclose(float(info_v["switching_cost"]),
+                                   info_c["switching_cost"], atol=1e-6,
+                                   err_msg=f"step {t} switching cost")
+        assert int(info_v["total_switches"]) == int(info_c["total_switches"])
+        np.testing.assert_allclose(float(info_v["cumulative_switching_cost"]),
+                                   info_c["cumulative_switching_cost"], atol=1e-5)
+
+
 def test_rbg_keys_supported():
     """farm_keys(impl='rbg') — the TPU-fast RngBitGenerator key flavor —
     flows through reset, batched autoreset step, and scan rollouts with

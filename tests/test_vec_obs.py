@@ -1,0 +1,228 @@
+"""Vec-tier observation plans: compat-format (var, ids, unit) triples
+compiled to static gathers.
+
+Cross-tier parity is the oracle: the SAME observation spec on the SAME
+network, driven by identical inputs, must produce the same observation
+vector and the same observation-space bounds as the compat tier's
+per-step dict gather (reference anm_env.py:516-611 semantics, including
+the kA and gen_p_max-bound quirks).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.compat import ANMEnv
+from gym_anm_tpu.compat.ieee33 import IEEE33Env
+from gym_anm_tpu.errors import ObsNotSupportedError, ObsSpaceError, UnitsNotSupportedError
+from gym_anm_tpu.networks import ieee33_network
+from gym_anm_tpu.vec import VecEnv, VecTask, make_ieee33_task
+
+# ---------------------------------------------------------------------------
+# IEEE33 (deterministic task): wide bus/branch variable coverage.
+# ---------------------------------------------------------------------------
+
+IEEE33_OBS = [
+    ("bus_v_magn", "all", "pu"),
+    ("bus_v_ang", [0, 5, 10], "degree"),
+    ("bus_p", [3, 7], "MW"),
+    ("bus_q", [2], "pu"),
+    ("bus_i_magn", [1, 4], "kA"),
+    ("branch_s", "all", "MVA"),
+    ("branch_p", [(0, 1), (1, 2)], "MW"),
+    ("branch_q", [(1, 2)], "MVAr"),
+    ("branch_i_magn", [(0, 1)], "pu"),
+    ("branch_i_ang", [(0, 1)], "rad"),
+    ("dev_p", "all", "MW"),
+    ("dev_q", [0, 8], "MVAr"),
+]
+
+
+class _ObsIEEE33(IEEE33Env):
+    def __init__(self, obs_spec):
+        ANMEnv.__init__(self, ieee33_network, obs_spec, 0, 1.0, 0.99, 100)
+
+
+def test_obs_plan_cross_tier_ieee33():
+    env_v = VecEnv(make_ieee33_task(), dtype=jnp.float32, obs=IEEE33_OBS)
+    env_c = _ObsIEEE33(IEEE33_OBS)
+
+    # Bounds must agree entry for entry with the compat observation space.
+    np.testing.assert_allclose(np.asarray(env_v.obs_low, float),
+                               env_c.observation_space.low, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(env_v.obs_high, float),
+                               env_c.observation_space.high, rtol=1e-6)
+    assert env_v.n_obs == env_c.observation_space.shape[0]
+
+    # Segment-aware comparison.  f32-vs-f64 solver noise is amplified by
+    # two conventions: branch_s carries sign(p_from) (SURVEY §2.2(12)) —
+    # numerically a COIN FLIP when a flow crosses zero — and the _ang
+    # variables are atan2 of near-zero vectors.  Everything else must
+    # match to 5e-4 absolute (orders below any index/unit plumbing bug).
+    def compare(obs_v, obs_c, msg):
+        obs_v = np.asarray(obs_v, float)
+        off = 0
+        for var, ids, unit in env_v._obs_plan.values:
+            n = len(ids)
+            a, b = obs_v[off : off + n], obs_c[off : off + n]
+            off += n
+            m = f"{msg} [{var}:{unit}]"
+            if var == "branch_s":
+                np.testing.assert_allclose(np.abs(a), np.abs(b), atol=5e-4,
+                                           rtol=1e-3, err_msg=m)
+                # The sign comes from sign(p_from) (branch.py:198); gate the
+                # sign assertion on flows whose P component is decisively
+                # nonzero — a q-dominated branch can have |S| large while
+                # p_from sits at the f32 noise floor.
+                pf = np.array([env_c.simulator.branches[k].p_from for k in ids])
+                big = np.abs(pf) > 1e-3
+                np.testing.assert_array_equal(np.sign(a[big]), np.sign(b[big]),
+                                              err_msg=m + " sign")
+            elif var.endswith("_ang"):
+                atol = 0.6 if unit == "degree" else 1e-2
+                np.testing.assert_allclose(a, b, atol=atol, err_msg=m)
+            else:
+                np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3, err_msg=m)
+
+    obs_c, _ = env_c.reset(seed=0)
+    state_v, obs_v = env_v.reset(jax.random.PRNGKey(0))
+    compare(obs_v, obs_c, "reset obs")
+
+    rng = np.random.default_rng(3)
+    lo, hi = np.asarray(env_v.action_low, float), np.asarray(env_v.action_high, float)
+    step_v = jax.jit(env_v.step)
+    for t in range(5):
+        a = rng.uniform(lo, hi)
+        obs_c, r_c, term_c, _, _ = env_c.step(a)
+        state_v, obs_v, r_v, done_v, _ = step_v(state_v, jnp.asarray(a, env_v.dtype))
+        assert not term_c and not bool(done_v)
+        compare(obs_v, obs_c, f"step {t} obs")
+
+
+# ---------------------------------------------------------------------------
+# Small 3-bus network with renewable + storage: des_soc / gen_p_max / aux.
+# ---------------------------------------------------------------------------
+
+BASE_MVA = 10
+NETWORK = {
+    "baseMVA": BASE_MVA,
+    "bus": np.array([[0, 0, 50, 1.1, 0.9], [1, 1, 50, 1.1, 0.9], [2, 1, 100, 1.0, 1.0]]),
+    "branch": np.array([[0, 1, 0.1, 0.2, 0.3, 20, 1, 0], [1, 2, 0.4, 0.5, 0.6, 20, 1, 0]]),
+    "device": np.array(
+        [
+            [0, 0, 0, None, 200, -200, 200, -200] + [None] * 7,
+            [1, 1, -1, 0.2, 0, -10] + [None] * 9,
+            [2, 2, 2, None, 30, 0, 30, -30] + [None] * 7,
+            [3, 2, 3, None, 50, -50, 50, -50, None, None, None, None, 100, 0, 0.9],
+        ],
+        dtype=object,
+    ),
+}
+
+SMALL_OBS = [
+    ("dev_p", "all", "MW"),
+    ("dev_q", [2, 3], "pu"),
+    ("des_soc", "all", "MWh"),
+    ("gen_p_max", "all", "MW"),  # MW upper bound uses q_max (the quirk)
+    ("aux", "all", None),
+    ("bus_v_ang", "all", "rad"),
+]
+
+K = 1
+
+
+def _compat_small():
+    env = ANMEnv(NETWORK, SMALL_OBS, K, 1, 0.9, 100, None, None, None)
+    env.init_state = lambda: np.zeros(10 + K)
+    env.next_vars = lambda s_t: np.array([-1.0, 5.0, 0.0])
+    return env
+
+
+def _vec_small():
+    task = VecTask(
+        network=NETWORK, K=K, delta_t=1.0, gamma=0.9, lamb=100,
+        costs_clipping=None,
+        init_state_fn=lambda key, carry: jnp.zeros(10 + K),
+        next_vars_fn=lambda key, s_t, carry, t: (
+            jnp.array([-1.0, 5.0, 0.0], s_t.dtype), carry),
+        name="obs_small",
+    )
+    return VecEnv(task, dtype=jnp.float64, obs=SMALL_OBS)
+
+
+def test_obs_plan_gen_des_aux_cross_tier():
+    env_v = _vec_small()
+    env_c = _compat_small()
+
+    np.testing.assert_allclose(np.asarray(env_v.obs_low, float),
+                               env_c.observation_space.low, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(env_v.obs_high, float),
+                               env_c.observation_space.high, rtol=1e-9)
+
+    obs_c, _ = env_c.reset(seed=0)
+    state_v, obs_v = env_v.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(obs_v, float), obs_c, atol=1e-7)
+
+    rng = np.random.default_rng(5)
+    lo, hi = np.asarray(env_v.action_low, float), np.asarray(env_v.action_high, float)
+    step_v = jax.jit(env_v.step)
+    for t in range(5):
+        # Modest set-points: this toy grid's action bounds reach ±300 MW on
+        # a 10 MVA base, where the load flow genuinely diverges (both
+        # tiers) — sample 5% of the box around zero.
+        a = 0.05 * rng.uniform(lo, hi)
+        obs_c, _, term_c, _, _ = env_c.step(a)
+        state_v, obs_v, _, done_v, _ = step_v(state_v, jnp.asarray(a, env_v.dtype))
+        assert not term_c and not bool(done_v)
+        np.testing.assert_allclose(np.asarray(obs_v, float), obs_c, atol=1e-7,
+                                   err_msg=f"step {t} obs")
+
+
+# ---------------------------------------------------------------------------
+# API contract details.
+# ---------------------------------------------------------------------------
+
+def test_obs_plan_errors_and_rollout_guard():
+    with pytest.raises(ObsNotSupportedError):
+        VecEnv(make_ieee33_task(), obs=[("no_such_var", "all", "pu")])
+    with pytest.raises(UnitsNotSupportedError):
+        VecEnv(make_ieee33_task(), obs=[("bus_p", "all", "furlongs")])
+    with pytest.raises(ObsSpaceError):
+        VecEnv(make_ieee33_task(), obs=42)
+    with pytest.raises(ObsSpaceError):
+        VecEnv(make_ieee33_task(), obs=[("bus_p", [999], "MW")])
+
+    env = VecEnv(make_ieee33_task(), dtype=jnp.float32,
+                 obs=[("bus_v_magn", "all", "pu")])
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (33,)
+    with pytest.raises(ValueError):
+        env.rollout(state, env.random_policy(), 3)
+    # With obs0 provided, partial-obs rollouts run on-device.
+    state2, traj = env.rollout(state, env.random_policy(), 3, obs0=obs)
+    assert traj[0].shape == (3, 33)
+
+
+def test_obs_plan_default_unit_and_two_tuples():
+    # A 2-tuple takes the variable's default unit (MW for dev_p).
+    env2 = VecEnv(make_ieee33_task(), obs=[("dev_p", [0, 1])])
+    env3 = VecEnv(make_ieee33_task(), obs=[("dev_p", [0, 1], "MW")])
+    np.testing.assert_array_equal(np.asarray(env2.obs_low), np.asarray(env3.obs_low))
+    s2, o2 = env2.reset(jax.random.PRNGKey(0))
+    s3, o3 = env3.reset(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o3))
+
+
+def test_obs_plan_through_gym_adapter():
+    from gym_anm_tpu.vec import GymVectorEnv
+
+    ad = GymVectorEnv(make_ieee33_task(), num_envs=3,
+                      obs=[("bus_v_magn", "all", "pu"), ("branch_s", "all", "pu")])
+    obs, _ = ad.reset(seed=0)
+    assert obs.shape == (3, 33 + 37)
+    assert ad.single_observation_space.shape == (33 + 37,)
+    a = np.stack([ad.single_action_space.sample() for _ in range(3)])
+    obs, rew, term, trunc, infos = ad.step(a)
+    assert obs.shape == (3, 70)
+    assert ad.observation_space.contains(obs)
