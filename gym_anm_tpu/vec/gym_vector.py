@@ -7,13 +7,25 @@ wraps one :class:`~gym_anm_tpu.vec.core.VecEnv` in the standard
 training loops, CleanRL scripts, Gymnasium vector wrappers) can drive the
 batched TPU/CPU environment without writing any JAX.
 
-Semantics follow Gymnasium's ``AutoresetMode.SAME_STEP`` (the reference's
-``ANMEnv`` terminal convention maps onto it naturally): on the step where a
-lane terminates, the returned observation is the RESET observation of the
-new episode, and the terminal observation — the reference's zero vector
-(anm_env.py:444-448) — rides in ``infos["final_obs"]`` with the usual
-``_final_obs`` mask.  Rewards/terminations are the reference MDP's
-(terminal reward −c2/(1−γ), reward clipping, ≤100 reset retries).
+All three Gymnasium autoreset conventions are supported (pass
+``autoreset_mode=``):
+
+* ``SAME_STEP`` (default): on the step where a lane terminates, the
+  returned observation is the RESET observation of the new episode, and
+  the terminal observation — the reference's zero vector
+  (anm_env.py:444-448) — rides in ``infos["final_obs"]`` with the usual
+  ``_final_obs`` mask.
+* ``NEXT_STEP``: the terminating step returns the terminal observation
+  itself; the lane resets on the FOLLOWING step (its action is ignored,
+  reward 0, terminations False).  This is the mode Gymnasium's stateful
+  vector wrappers (``NormalizeObservation``, ``NormalizeReward``, …)
+  require, so the full wrapper ecosystem composes over this adapter.
+* ``DISABLED``: terminated lanes absorb (zero observation, reward 0,
+  ``terminations`` stays True) until ``reset()`` is called on the whole
+  farm — the pure tier's native absorbing semantics.
+
+Rewards/terminations are the reference MDP's (terminal reward −c2/(1−γ),
+reward clipping, ≤100 reset retries) in every mode.
 
 Performance note: this adapter crosses host↔device every ``step`` call, so
 it runs at dispatch-latency speed (notably through a tunneled TPU), not at
@@ -60,15 +72,23 @@ class GymVectorEnv(VectorEnv):
         Observation spec forwarded to :class:`VecEnv` when ``task`` is a
         :class:`VecTask` — ``"state"`` or compat-style
         ``(variable, ids[, unit])`` triples.
+    autoreset_mode : AutoresetMode | str
+        ``SAME_STEP`` (default), ``NEXT_STEP``, or ``DISABLED`` — see the
+        module docstring.  Strings accept the enum values
+        (``"SameStep"``/``"NextStep"``/``"Disabled"``).
     """
 
     metadata = {"autoreset_mode": AutoresetMode.SAME_STEP, "render_modes": []}
     render_mode = None
 
     def __init__(self, task, num_envs: int, dtype=jnp.float32, seed: int = 0,
-                 rng_impl=None, obs="state"):
+                 rng_impl=None, obs="state",
+                 autoreset_mode=AutoresetMode.SAME_STEP):
         self.venv = task if isinstance(task, _VecEnv) else _VecEnv(task, dtype=dtype, obs=obs)
         self.num_envs = int(num_envs)
+        self.autoreset_mode = AutoresetMode(autoreset_mode)
+        # Per-instance metadata: wrappers read the mode from here.
+        self.metadata = {**type(self).metadata, "autoreset_mode": self.autoreset_mode}
         self._rng_impl = rng_impl
         self._seed0 = int(seed)
         self._reset_count = 0
@@ -91,7 +111,58 @@ class GymVectorEnv(VectorEnv):
         self._reset_jit = jax.jit(jax.vmap(self.venv.reset))
         # Donate the carried state: the previous step's buffers are dead the
         # moment the new state exists (the adapter owns the only reference).
-        self._step_jit = jax.jit(self.venv.step_autoreset_batch, donate_argnums=0)
+        if self.autoreset_mode == AutoresetMode.SAME_STEP:
+            step_fn = self.venv.step_autoreset_batch
+        elif self.autoreset_mode == AutoresetMode.NEXT_STEP:
+            step_fn = self._next_step_batch
+        else:  # DISABLED — absorbing lanes, reset() resets the whole farm
+            step_fn = jax.vmap(self.venv.step)
+        self._step_jit = jax.jit(step_fn, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def _next_step_batch(self, states, actions):
+        """NEXT_STEP autoreset: lanes whose PREVIOUS step terminated are
+        reset now (their action is ignored) instead of stepping.
+
+        Same batch-level ``lax.cond`` structure as
+        :meth:`VecEnv.step_autoreset_batch` — on the typical step where no
+        lane needs a reset, the reset program never executes.  The stepped
+        values for needs-reset lanes cost nothing extra (they ride the
+        batched step as absorbing lanes) and are overwritten by the merge.
+        """
+        venv = self.venv
+        prev_done = states.terminated
+        new_states, obs, reward, done, info = jax.vmap(venv.step)(states, actions)
+        keys = jax.vmap(jax.random.split)(new_states.key)
+        k_reset, key = keys[:, 0], keys[:, 1]
+        new_states = new_states._replace(key=key)
+
+        def do_resets(operand):
+            new_states, obs, k_reset = operand
+            reset_states, reset_obs = jax.vmap(venv.reset)(k_reset, new_states.oltc_tap)
+
+            def sel(r, n):
+                d = prev_done.reshape(prev_done.shape + (1,) * (n.ndim - prev_done.ndim))
+                return jnp.where(d, r, n)
+
+            merged = jax.tree_util.tree_map(sel, reset_states, new_states)
+            # Shaping carry persists across resets (reference tracker
+            # semantics — see VecEnv.step_autoreset).
+            merged = merged._replace(shaping=new_states.shaping)
+            return merged, jnp.where(prev_done[:, None], reset_obs, obs)
+
+        def no_resets(operand):
+            new_states, obs, _ = operand
+            return new_states, obs
+
+        merged, obs = jax.lax.cond(
+            jnp.any(prev_done), do_resets, no_resets, (new_states, obs, k_reset)
+        )
+        # Gymnasium NEXT_STEP convention for the reset step: reward 0,
+        # terminations False (the fresh episode has not stepped yet).
+        reward = jnp.where(prev_done, 0.0, reward)
+        done = jnp.logical_and(done, jnp.logical_not(prev_done))
+        return merged, obs, reward, done, info
 
     # ------------------------------------------------------------------
     def reset(self, *, seed: int | None = None, options: dict | None = None):
@@ -113,7 +184,7 @@ class GymVectorEnv(VectorEnv):
         truncations = np.zeros(self.num_envs, dtype=bool)
 
         infos: dict = {k: np.asarray(v) for k, v in info.items()}
-        if terminations.any():
+        if self.autoreset_mode == AutoresetMode.SAME_STEP and terminations.any():
             # SAME_STEP convention: the terminal observation (the
             # reference's zero vector) and a per-lane final info, masked.
             final_obs = np.full(self.num_envs, None, dtype=object)

@@ -92,6 +92,100 @@ def test_unseeded_resets_differ():
     np.testing.assert_array_equal(k3, k4)
 
 
+def test_next_step_mode_semantics():
+    """NEXT_STEP: the terminating step returns the zero terminal obs; the
+    FOLLOWING step resets the lane (reward 0, terminations False, fresh
+    obs) regardless of the action passed for it."""
+    ad = GymVectorEnv(make_anm6easy_task(), num_envs=16,
+                      autoreset_mode="NextStep")
+    assert ad.metadata["autoreset_mode"] == gym.vector.AutoresetMode.NEXT_STEP
+    ad.reset(seed=3)
+    lo = np.asarray(ad.venv.action_low)
+    hi = np.asarray(ad.venv.action_high)
+    rng = np.random.default_rng(11)
+
+    prev_term = np.zeros(16, bool)
+    saw_done = False
+    for _ in range(40):
+        acts = np.where(rng.random((16, ad.venv.n_action)) < 0.5, lo, hi).astype(
+            lo.dtype
+        )
+        obs, rew, term, trunc, infos = ad.step(acts)
+        assert "final_obs" not in infos  # SAME_STEP convention only
+        for i in np.flatnonzero(prev_term):  # reset step for these lanes
+            assert not term[i]
+            assert rew[i] == 0.0
+            assert np.any(obs[i] != 0.0), "reset obs expected, got terminal zeros"
+        for i in np.flatnonzero(term):  # terminating step: terminal obs
+            saw_done = True
+            np.testing.assert_array_equal(obs[i], np.zeros(ad.venv.n_obs))
+            c2 = ad.venv.costs_clipping[1]
+            np.testing.assert_allclose(
+                rew[i], -c2 / (1 - ad.venv.task.gamma), rtol=1e-5
+            )
+        prev_term = term.copy()
+    assert saw_done, "expected at least one collapsed lane in 40 steps"
+
+
+def test_disabled_mode_absorbs():
+    """DISABLED: terminated lanes absorb (zero obs, reward 0, terminations
+    stays True) until the whole farm is reset."""
+    ad = GymVectorEnv(make_anm6easy_task(), num_envs=16,
+                      autoreset_mode=gym.vector.AutoresetMode.DISABLED)
+    ad.reset(seed=3)
+    lo = np.asarray(ad.venv.action_low)
+    hi = np.asarray(ad.venv.action_high)
+    rng = np.random.default_rng(11)
+
+    stuck = np.zeros(16, bool)
+    for _ in range(40):
+        acts = np.where(rng.random((16, ad.venv.n_action)) < 0.5, lo, hi).astype(
+            lo.dtype
+        )
+        obs, rew, term, trunc, _ = ad.step(acts)
+        assert (term[stuck] == True).all()  # noqa: E712 — absorbing
+        assert (obs[stuck] == 0.0).all() and (rew[stuck] == 0.0).all()
+        stuck |= term
+    assert stuck.any(), "expected at least one collapsed lane in 40 steps"
+    obs, _ = ad.reset(seed=4)  # whole-farm reset revives every lane
+    assert np.any(obs[stuck] != 0.0, axis=1).all()
+    assert not np.asarray(ad.state.terminated).any()
+
+
+def test_wrapper_ecosystem_composes():
+    """Gymnasium's stateful vector wrappers (which require NEXT_STEP)
+    compose over the adapter: normalize obs + reward, clip actions, record
+    episode statistics — over a task whose lanes genuinely terminate."""
+    from gymnasium.wrappers.vector import (
+        ClipAction,
+        NormalizeObservation,
+        NormalizeReward,
+        RecordEpisodeStatistics,
+    )
+
+    ad = GymVectorEnv(make_anm6easy_task(), num_envs=8, autoreset_mode="NextStep")
+    env = RecordEpisodeStatistics(NormalizeReward(NormalizeObservation(ClipAction(ad))))
+    obs, _ = env.reset(seed=3)
+    assert obs.shape == (8, ad.venv.n_obs)
+    lo = np.asarray(ad.venv.action_low)
+    hi = np.asarray(ad.venv.action_high)
+    rng = np.random.default_rng(11)
+
+    episodes = 0
+    for _ in range(50):
+        # Deliberately out-of-box actions: ClipAction must clip them back
+        # into the reference action box before they reach the MDP.
+        acts = np.where(rng.random((8, ad.venv.n_action)) < 0.5, 2 * lo, 2 * hi).astype(
+            lo.dtype
+        )
+        obs, rew, term, trunc, infos = env.step(acts)
+        assert np.isfinite(obs).all() and np.isfinite(rew).all()
+        if "episode" in infos:
+            episodes += int(infos["_episode"].sum())
+            assert np.isfinite(infos["episode"]["r"][infos["_episode"]]).all()
+    assert episodes > 0, "RecordEpisodeStatistics saw no completed episodes"
+
+
 def test_same_step_final_obs_on_collapse():
     """Max-aggressive actions collapse ANM6Easy lanes; the step where a lane
     terminates must return the RESET obs with the zero terminal obs in
