@@ -9,7 +9,7 @@ The full offline pipeline over the TPU-native stack (BASELINE configs 4-5):
    on-device rollouts.
 
 Usage:  python scripts/train_cql_offline.py [--lanes B] [--steps N]
-        [--train-steps K]
+        [--train-steps K] [--cpu]
 """
 
 import argparse
@@ -20,6 +20,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:
+    # Must win before JAX initializes — the env var alone is ignored when
+    # the axon TPU plugin is installed (CLAUDE.md: environment traps).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -49,7 +56,10 @@ def main():
     ap.add_argument("--lanes", type=int, default=512)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--train-steps", type=int, default=2000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled pre-import)")
     args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}")
 
     env = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
     suite = make_suite(env)
