@@ -76,6 +76,16 @@ class GymVectorEnv(VectorEnv):
         ``SAME_STEP`` (default), ``NEXT_STEP``, or ``DISABLED`` — see the
         module docstring.  Strings accept the enum values
         (``"SameStep"``/``"NextStep"``/``"Disabled"``).
+    mesh : jax.sharding.Mesh | None
+        Shard the lane axis over a device mesh (e.g.
+        ``parallel.make_env_mesh(jax.devices())``): the farm then spans
+        every device behind the same Gymnasium API, with host numpy in/out
+        scattered/gathered automatically by GSPMD.  ``num_envs`` must be a
+        multiple of ``mesh.size``.  Lanes are independent, so sharded and
+        unsharded farms agree to f32 solver tolerance (partition-dependent
+        matmul blocking rounds differently within the chord solver's
+        ≤1e-4 acceptance band — the same tolerance the repo-wide
+        multi-device equivalence gates use).
     """
 
     metadata = {"autoreset_mode": AutoresetMode.SAME_STEP, "render_modes": []}
@@ -83,9 +93,14 @@ class GymVectorEnv(VectorEnv):
 
     def __init__(self, task, num_envs: int, dtype=jnp.float32, seed: int = 0,
                  rng_impl=None, obs="state",
-                 autoreset_mode=AutoresetMode.SAME_STEP):
+                 autoreset_mode=AutoresetMode.SAME_STEP, mesh=None):
         self.venv = task if isinstance(task, _VecEnv) else _VecEnv(task, dtype=dtype, obs=obs)
         self.num_envs = int(num_envs)
+        if mesh is not None and self.num_envs % mesh.size != 0:
+            raise ValueError(
+                f"num_envs={num_envs} must be a multiple of mesh.size={mesh.size}"
+            )
+        self.mesh = mesh
         self.autoreset_mode = AutoresetMode(autoreset_mode)
         # Per-instance metadata: wrappers read the mode from here.
         self.metadata = {**type(self).metadata, "autoreset_mode": self.autoreset_mode}
@@ -108,16 +123,29 @@ class GymVectorEnv(VectorEnv):
         self.observation_space = batch_space(self.single_observation_space, num_envs)
         self.action_space = batch_space(self.single_action_space, num_envs)
 
-        self._reset_jit = jax.jit(jax.vmap(self.venv.reset))
-        # Donate the carried state: the previous step's buffers are dead the
-        # moment the new state exists (the adapter owns the only reference).
         if self.autoreset_mode == AutoresetMode.SAME_STEP:
             step_fn = self.venv.step_autoreset_batch
         elif self.autoreset_mode == AutoresetMode.NEXT_STEP:
             step_fn = self._next_step_batch
         else:  # DISABLED — absorbing lanes, reset() resets the whole farm
             step_fn = jax.vmap(self.venv.step)
-        self._step_jit = jax.jit(step_fn, donate_argnums=0)
+        # Donate the carried state: the previous step's buffers are dead the
+        # moment the new state exists (the adapter owns the only reference).
+        if mesh is None:
+            self._reset_jit = jax.jit(jax.vmap(self.venv.reset))
+            self._step_jit = jax.jit(step_fn, donate_argnums=0)
+        else:
+            from ..parallel.mesh import env_sharding
+
+            # One sharding broadcast over every per-lane leaf (leading-dim
+            # lane axis; GSPMD scatters host inputs / gathers outputs).
+            sh = env_sharding(mesh)
+            self._reset_jit = jax.jit(
+                jax.vmap(self.venv.reset), in_shardings=sh, out_shardings=sh
+            )
+            self._step_jit = jax.jit(
+                step_fn, donate_argnums=0, in_shardings=sh, out_shardings=sh
+            )
 
     # ------------------------------------------------------------------
     def _next_step_batch(self, states, actions):

@@ -186,6 +186,41 @@ def test_wrapper_ecosystem_composes():
     assert episodes > 0, "RecordEpisodeStatistics saw no completed episodes"
 
 
+def test_mesh_sharded_farm_matches_unsharded():
+    """mesh=: the farm spans the (virtual 8-device) mesh behind the same
+    API; trajectories agree with the unsharded adapter to f32 solver
+    tolerance (same bar as __graft_entry__.dryrun_multichip's gate)."""
+    from gym_anm_tpu.parallel import make_env_mesh
+
+    mesh = make_env_mesh(jax.devices())
+    assert mesh.size == 8  # conftest forces 8 virtual CPU devices
+    task = make_ieee33_multicap_task()
+    sharded = GymVectorEnv(task, num_envs=16, mesh=mesh, autoreset_mode="NextStep")
+    plain = GymVectorEnv(task, num_envs=16, autoreset_mode="NextStep")
+
+    o_s, _ = sharded.reset(seed=7)
+    o_p, _ = plain.reset(seed=7)
+    np.testing.assert_array_equal(o_s, o_p)
+    assert len(sharded.state.soc.sharding.device_set) == 8
+
+    rng = np.random.default_rng(0)
+    lo = np.asarray(sharded.venv.action_low)
+    hi = np.asarray(sharded.venv.action_high)
+    for _ in range(5):
+        # Moderate actions: keep every lane far from the collapse boundary
+        # so a within-tolerance solver difference cannot flip a done flag.
+        frac = 0.4 + 0.2 * rng.random((16, sharded.venv.n_action))
+        acts = (lo + frac * (hi - lo)).astype(np.float32)
+        o_s, r_s, t_s, _, _ = sharded.step(acts)
+        o_p, r_p, t_p, _, _ = plain.step(acts)
+        np.testing.assert_array_equal(t_s, t_p)
+        np.testing.assert_allclose(o_s, o_p, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(r_s, r_p, rtol=1e-3, atol=1e-3)
+
+    with pytest.raises(ValueError, match="multiple of mesh.size"):
+        GymVectorEnv(task, num_envs=12, mesh=mesh)
+
+
 def test_same_step_final_obs_on_collapse():
     """Max-aggressive actions collapse ANM6Easy lanes; the step where a lane
     terminates must return the RESET obs with the zero terminal obs in
