@@ -66,3 +66,9 @@ def test_offline_mixed_example():
     mod = _load("offline_mixed")
     states, actions = mod.run(steps=6)
     assert len(states) == 6 and len(actions) == 6
+
+
+def test_gym_vector_interop_example():
+    mod = _load("gym_vector_interop")
+    total, episodes = mod.run(num_envs=8, steps=10)
+    assert np.isfinite(total)
