@@ -113,7 +113,47 @@ def _metric(name, steps_per_s):
     }
 
 
+def _wait_for_backend(deadline_s=1500.0, probe_timeout_s=120.0):
+    """Ride out transient TPU-backend outages before benching.
+
+    The tunneled axon backend occasionally goes UNAVAILABLE for a while
+    (observed: init either raises after ~20 min or simply hangs), which
+    would make an end-of-round bench run report nothing.  Probe device
+    init in a SUBPROCESS — a failed in-process attempt can hang or poison
+    this runtime — and retry until the deadline, then proceed either way
+    (letting the real error surface if the backend is truly gone).
+    Override the deadline with BENCH_BACKEND_WAIT_S (0 disables).
+    """
+    import os
+    import subprocess
+
+    deadline_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", deadline_s))
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"backend up after {time.monotonic()-t0:.0f}s "
+                          f"({attempt} probes)", file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline_s - (time.monotonic() - t0)
+        if remaining <= 0:
+            print(f"backend still unavailable after {time.monotonic()-t0:.0f}s; "
+                  "proceeding anyway", file=sys.stderr)
+            return False
+        time.sleep(min(60.0, remaining))
+
+
 def main(batch=8192, quick=False, rng_impl=None):
+    _wait_for_backend()
     from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task, make_ieee33_task
 
     # 1. Headline: base IEEE33, 3-dim action, plain step.
