@@ -152,8 +152,14 @@ def _make_renewable_family_task(network, name, load_scale=1.0, scenario="default
                              "low_renewable": (0.5, 0.5)}.get(scenario, (1.0, 1.0))
 
     def init_task_fn(key):
-        # task carry = hour of day
-        return jax.random.uniform(key, ()) * 24.0
+        # task carry = hour of day.  Drawn at f32: under the global x64
+        # flag an unannotated scalar draw is f64, and the f64 carry drags
+        # its whole downstream chain (clock advance, diurnal sine, the
+        # reset-retry loop) into emulated-f64 ops on TPU — the same trap
+        # as the load-noise whale (docs/performance.md).  A f32 hour is
+        # exact to ~1e-7 relative, far below the 2%-noise process it
+        # modulates; weak-typed Python-float arithmetic below stays f32.
+        return jax.random.uniform(key, (), dtype=jnp.float32) * 24.0
 
     def init_state_fn(key, carry):
         # f32 draw for the same x64 reason as the load noise below; the

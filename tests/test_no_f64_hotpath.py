@@ -1,0 +1,63 @@
+"""Guard: no float64 ops may leak into the f32 tier's compiled hot paths.
+
+The package enables ``jax_enable_x64`` globally (the compat/parity tier
+needs it), which makes any UNANNOTATED scalar draw, constant, or
+``where``-of-scalars default to f64 — and f64 elementwise/RNG ops on TPU
+lower to emulated sequential kLoop fusions.  One such leak (the diurnal
+load-noise draw) cost 455 µs/step at B=8192 — over a third of the whole
+flagship step; a second (the hour-of-day task carry) dragged ~76 f64 ops
+through the clock/sine/reset-retry chain (docs/performance.md).
+
+This test compiles the actual reset/step programs of every f32 task and
+asserts the optimized HLO contains ZERO f64-producing instructions, so
+the trap cannot regress silently.  (CPU-compiled HLO is a faithful proxy:
+XLA's dtype semantics are platform-independent, only the lowering cost
+differs.)
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_anm_tpu.vec import (
+    VecEnv,
+    farm_keys,
+    make_anm6easy_task,
+    make_ieee33_multicap_task,
+    make_ieee33_renewable_task,
+    make_ieee33_task,
+    make_ieee33_unequal_task,
+)
+
+TASKS = {
+    "ieee33": make_ieee33_task,
+    "multicap": make_ieee33_multicap_task,
+    "renewable": make_ieee33_renewable_task,
+    "unequal": make_ieee33_unequal_task,
+    "anm6easy": make_anm6easy_task,
+}
+
+
+def _f64_ops(hlo_text):
+    """f64-array-producing instructions in optimized HLO (constants and
+    broadcasts included — after constant folding, ANY survivor implies
+    runtime f64 work or an f64 buffer crossing a program boundary)."""
+    return re.findall(r"f64\[[0-9,]*\][^ ]* (\w+)", hlo_text)
+
+
+@pytest.mark.parametrize("name", list(TASKS))
+def test_f32_hot_paths_are_f64_free(name):
+    env = VecEnv(TASKS[name](), dtype=jnp.float32)
+    keys = farm_keys(0, 8)
+    reset_fn = jax.jit(jax.vmap(env.reset))
+    state, _ = reset_fn(keys)
+    acts = jnp.zeros((8, env.n_action), jnp.float32)
+
+    hlo = reset_fn.lower(keys).compile().as_text()
+    assert not _f64_ops(hlo), f"{name}.reset leaks f64 ops: {_f64_ops(hlo)[:10]}"
+
+    step_fn = jax.jit(env.step_autoreset_batch)
+    hlo = step_fn.lower(state, acts).compile().as_text()
+    assert not _f64_ops(hlo), f"{name}.step leaks f64 ops: {_f64_ops(hlo)[:10]}"
