@@ -83,6 +83,13 @@ def _tap_from_idx(idx, dtype=None):
     return taps[idx]
 
 
+def _wf(pred, a, b, dt):
+    """``jnp.where`` with float-literal branches pinned AT ``dt``: under
+    the global x64 flag a where() of two weak Python floats selects in
+    f64 (emulated on TPU; guarded by tests/test_no_f64_hotpath.py)."""
+    return jnp.where(pred, jnp.asarray(a, dt), jnp.asarray(b, dt))
+
+
 def make_l2(env):
     """L2: voltage-threshold switching with per-capacitor hysteresis."""
     cap_sl = env._action_slices["Q_cap"]
@@ -97,11 +104,12 @@ def make_l2(env):
         v_min = jnp.min(state.bus_vm)
         v_max = jnp.max(state.bus_vm)
 
-        frac = jnp.where(v_max > 1.04, 0.15, jnp.where(v_min < 0.96, 0.25, 0.22))
+        dt = env.dtype
+        frac = _wf(v_max > 1.04, 0.15, _wf(v_min < 0.96, 0.25, 0.22, dt), dt)
         a = _blank(env, env.dtype)
         a = a.at[:n_gen].set(_renewable_action(env, state, frac))
 
-        q_support = jnp.where(v_min < 0.97, 0.01, jnp.where(v_max > 1.03, -0.01, 0.0))
+        q_support = _wf(v_min < 0.97, 0.01, _wf(v_max > 1.03, -0.01, 0.0, dt), dt)
         a = a.at[_gen_q_slice(env)].set(q_support)
 
         on1, on2 = carry[0], carry[1]
@@ -116,8 +124,8 @@ def make_l2(env):
             jnp.logical_and(v_min < 0.955, v_max < 1.01),
         )
         cap_vals = jnp.zeros(cap_sl.stop - cap_sl.start, env.dtype)
-        cap_vals = cap_vals.at[0].set(jnp.where(new_on1, cap_on, 0.0))
-        cap_vals = cap_vals.at[1].set(jnp.where(new_on2, cap_on * 0.5, 0.0))
+        cap_vals = cap_vals.at[0].set(_wf(new_on1, cap_on, 0.0, dt))
+        cap_vals = cap_vals.at[1].set(_wf(new_on2, cap_on * 0.5, 0.0, dt))
         a = a.at[cap_sl].set(cap_vals)
 
         caps_active = jnp.logical_or(new_on1, new_on2)
@@ -193,8 +201,8 @@ def make_l3(env):
         timer = jnp.where(jnp.logical_and(free, changed), 5, timer)
 
         cap_vals = jnp.zeros(cap_sl.stop - cap_sl.start, env.dtype)
-        cap_vals = cap_vals.at[0].set(jnp.where(cap_state[0], cap_on, 0.0))
-        cap_vals = cap_vals.at[1].set(jnp.where(cap_state[1], cap_on * 0.5, 0.0))
+        cap_vals = cap_vals.at[0].set(_wf(cap_state[0], cap_on, 0.0, dt))
+        cap_vals = cap_vals.at[1].set(_wf(cap_state[1], cap_on * 0.5, 0.0, dt))
         a = a.at[cap_sl].set(cap_vals)
 
         any_cap = jnp.any(cap_state)
@@ -348,8 +356,9 @@ def make_l5(env):
         vm = state.bus_vm
         v_min, v_max = jnp.min(vm), jnp.max(vm)
 
+        dt = env.dtype
         nominal = jnp.logical_and(v_min > 0.99, v_max < 1.01)
-        base_min = jnp.where(nominal, -0.046, 0.0)
+        base_min = _wf(nominal, -0.046, 0.0, dt)
 
         ren, c1, c2 = grid[:, 0], grid[:, 1], grid[:, 2]
         tap = grid_tap
@@ -367,7 +376,6 @@ def make_l5(env):
         # no float dtype, so the WEAK scalar resolves to the f64 default)
         # and drags the whole cost/argmin to emulated f64 on TPU.  Cast
         # the bools to the env dtype first.
-        dt = env.dtype
         cost = (
             100.0 * jnp.maximum(0.95 - pv_min, 0.0) ** 2
             + 100.0 * jnp.maximum(pv_max - 1.05, 0.0) ** 2
@@ -386,7 +394,7 @@ def make_l5(env):
 
         a = _blank(env, env.dtype)
         a = a.at[:n_gen].set(jnp.where(state.p_pot > 0, state.p_pot * b_ren, 0.0))
-        q_emerg = jnp.where(v_min < 0.94, 0.01, jnp.where(v_max > 1.06, -0.01, 0.0))
+        q_emerg = _wf(v_min < 0.94, 0.01, _wf(v_max > 1.06, -0.01, 0.0, dt), dt)
         a = a.at[_gen_q_slice(env)].set(q_emerg)
         cap_vals = jnp.zeros(cap_sl.stop - cap_sl.start, env.dtype)
         cap_vals = cap_vals.at[0].set(b_c1).at[1].set(b_c2)

@@ -47,6 +47,26 @@ def _f64_ops(hlo_text):
     return re.findall(r"f64\[[0-9,]*\][^ ]* (\w+)", hlo_text)
 
 
+def test_controller_suite_is_f64_free():
+    """The L0-L5 act programs (the dataset-generation inner loop) must
+    compile f64-free too — Python-float ``where`` branches are weak f64
+    under x64 (three controllers leaked exactly that way)."""
+    env = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
+    from gym_anm_tpu.vec.controllers import make_suite
+
+    state, _ = jax.jit(jax.vmap(env.reset))(farm_keys(0, 4))
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    for ctrl in make_suite(env):
+        carry = jax.vmap(ctrl.init_carry)(jax.random.split(jax.random.PRNGKey(1), 4))
+        hlo = (
+            jax.jit(jax.vmap(ctrl.act))
+            .lower(keys, state, jnp.zeros((4, env.n_obs), jnp.float32), carry)
+            .compile()
+            .as_text()
+        )
+        assert not _f64_ops(hlo), f"{ctrl.name} leaks f64 ops: {_f64_ops(hlo)[:10]}"
+
+
 @pytest.mark.parametrize("name", list(TASKS))
 def test_f32_hot_paths_are_f64_free(name):
     env = VecEnv(TASKS[name](), dtype=jnp.float32)
