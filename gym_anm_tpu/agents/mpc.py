@@ -14,11 +14,44 @@ generators and DES units are returned (Q = 0), scaled to MW and clipped to
 the action space.
 """
 
+from typing import NamedTuple, Optional
+
 import numpy as np
 from scipy.optimize import linprog
 from scipy.sparse import coo_matrix
 
 from ..specs.constants import DEV_TYPE_LOAD, DEV_TYPE_STORAGE
+
+
+class DCOPFStructure(NamedTuple):
+    """The N-stage DC-OPF LP with its per-call slots factored out.
+
+    Everything here is host numpy, built once per (network, horizon).  The
+    LP is ``min cᵀx  s.t.  A_eq x = b_eq, A_ub x ≤ b_ub, lb ≤ x ≤ ub`` where
+    the only per-call (and, in the vec tier, per-lane) values are
+
+    * ``lb/ub[load_pin_idx]``  — pinned load forecasts,
+    * ``ub[gen_cap_idx]``      — ``min(p_max, potential forecast)``,
+    * ``b_eq[soc_rows]``       — the stage-0 SoC recursion RHS.
+
+    ``gym_anm_tpu.vec.mpc`` consumes the same structure to build the
+    on-device batched solver, so both tiers share one formulation.
+    """
+
+    c: np.ndarray            # [n_var]
+    lb: np.ndarray           # [n_var] template (placeholders at slots)
+    ub: np.ndarray           # [n_var]
+    A_eq: object             # scipy CSR [n_eq, n_var]
+    b_eq: np.ndarray         # [n_eq] template
+    A_ub: Optional[object]   # scipy CSR [n_ub, n_var] or None
+    b_ub: Optional[np.ndarray]
+    load_pin_idx: np.ndarray  # [n_load, N] variable indices
+    gen_cap_idx: np.ndarray   # [n_gen_ns, N] variable indices
+    gen_pmax: np.ndarray      # [n_gen_ns] static upper bounds
+    soc_rows: np.ndarray      # [n_des] A_eq rows carrying init_soc
+    act_idx: np.ndarray       # stage-0 P indices (non-slack gens + DES)
+    baseMVA: float
+    n_var: int
 
 
 class MPCAgent:
@@ -99,14 +132,10 @@ class MPCAgent:
         o["t"] = o["soc"] + self.n_des
         return o
 
-    def _solve(self, simulator, load_forecasts, gen_forecasts):
+    def _build_structure(self):
+        """Assemble the LP once, recording the per-call slots (class doc)."""
         N = self.planning_steps
         n_var = N * self._stage_n
-        load_forecasts = np.asarray(load_forecasts, dtype=float)
-        gen_forecasts = np.asarray(gen_forecasts, dtype=float)
-        init_soc = np.array(
-            [simulator.state["des_soc"]["pu"][i] for i in self.des_ids], dtype=float
-        )
 
         c = np.zeros(n_var)
         lb = np.full(n_var, -np.inf)
@@ -115,6 +144,9 @@ class MPCAgent:
         ub_rows, ub_cols, ub_vals, ub_rhs = [], [], [], []
         n_eq = 0
         n_ub = 0
+        load_pin_idx = np.zeros((self.n_load, N), dtype=np.int64)
+        gen_cap_idx = np.zeros((len(self.non_slack_gen_ids), N), dtype=np.int64)
+        soc_rows = np.zeros(self.n_des, dtype=np.int64)
 
         bm = self.bus_id_mapping
         dm = self.dev_id_mapping
@@ -137,15 +169,17 @@ class MPCAgent:
             lb[o["theta"] + slack_theta_idx] = 0.0
             ub[o["theta"] + slack_theta_idx] = 0.0
 
-            # Load P pinned to the forecast.
+            # Load P pinned to the forecast (slot; placeholder 0).
             for li, l in enumerate(self.load_ids):
-                lb[o["P"] + dm[l]] = load_forecasts[li, s]
-                ub[o["P"] + dm[l]] = load_forecasts[li, s]
+                load_pin_idx[li, s] = o["P"] + dm[l]
+                lb[o["P"] + dm[l]] = 0.0
+                ub[o["P"] + dm[l]] = 0.0
 
-            # Generator bounds + potential cap.
+            # Generator bounds + potential cap (ub slot; placeholder p_max).
             for gi, g in enumerate(self.non_slack_gen_ids):
+                gen_cap_idx[gi, s] = o["P"] + dm[g]
                 lb[o["P"] + dm[g]] = self.P_gen_min[gi]
-                ub[o["P"] + dm[g]] = min(self.P_gen_max[gi], gen_forecasts[gi, s])
+                ub[o["P"] + dm[g]] = self.P_gen_max[gi]
 
             # DES bounds; pch/pdis >= 0; soc bounds.
             for di, d in enumerate(self.des_ids):
@@ -200,7 +234,8 @@ class MPCAgent:
                 eq_cols += [o["soc"] + di, o["pch"] + di, o["pdis"] + di]
                 eq_vals += [1.0, -self.delta_t * self.des_eff[di], self.delta_t / self.des_eff[di]]
                 if s == 0:
-                    eq_rhs.append(init_soc[di])
+                    soc_rows[di] = row  # RHS = init_soc (slot; placeholder 0)
+                    eq_rhs.append(0.0)
                 else:
                     prev = self._stage_offsets(s - 1)
                     eq_rows.append(row)
@@ -223,19 +258,58 @@ class MPCAgent:
                     ub_vals += [sign * b, -sign * b, -1.0]
                     ub_rhs.append(self.safety_margin * rate)
 
-        A_eq = coo_matrix((eq_vals, (eq_rows, eq_cols)), shape=(n_eq, n_var))
+        A_eq = coo_matrix((eq_vals, (eq_rows, eq_cols)), shape=(n_eq, n_var)).tocsr()
         A_ub = (
-            coo_matrix((ub_vals, (ub_rows, ub_cols)), shape=(n_ub, n_var))
+            coo_matrix((ub_vals, (ub_rows, ub_cols)), shape=(n_ub, n_var)).tocsr()
             if n_ub
             else None
         )
 
+        o0 = self._stage_offsets(0)
+        dm = self.dev_id_mapping
+        act_idx = np.array(
+            [o0["P"] + dm[d] for d in self.non_slack_gen_ids]
+            + [o0["P"] + dm[d] for d in self.des_ids],
+            dtype=np.int64,
+        )
+        return DCOPFStructure(
+            c=c, lb=lb, ub=ub, A_eq=A_eq, b_eq=np.array(eq_rhs),
+            A_ub=A_ub, b_ub=np.array(ub_rhs) if n_ub else None,
+            load_pin_idx=load_pin_idx, gen_cap_idx=gen_cap_idx,
+            gen_pmax=np.array(self.P_gen_max, dtype=float),
+            soc_rows=soc_rows, act_idx=act_idx,
+            baseMVA=self.baseMVA, n_var=n_var,
+        )
+
+    @property
+    def structure(self) -> DCOPFStructure:
+        if getattr(self, "_structure", None) is None:
+            self._structure = self._build_structure()
+        return self._structure
+
+    def _solve(self, simulator, load_forecasts, gen_forecasts):
+        N = self.planning_steps
+        load_forecasts = np.asarray(load_forecasts, dtype=float)
+        gen_forecasts = np.asarray(gen_forecasts, dtype=float)
+        init_soc = np.array(
+            [simulator.state["des_soc"]["pu"][i] for i in self.des_ids], dtype=float
+        )
+
+        st = self.structure
+        lb = st.lb.copy()
+        ub = st.ub.copy()
+        b_eq = st.b_eq.copy()
+        lb[st.load_pin_idx] = load_forecasts
+        ub[st.load_pin_idx] = load_forecasts
+        ub[st.gen_cap_idx] = np.minimum(st.gen_pmax[:, None], gen_forecasts)
+        b_eq[st.soc_rows] = init_soc
+
         res = linprog(
-            c,
-            A_eq=A_eq,
-            b_eq=np.array(eq_rhs),
-            A_ub=A_ub,
-            b_ub=np.array(ub_rhs) if n_ub else None,
+            st.c,
+            A_eq=st.A_eq,
+            b_eq=b_eq,
+            A_ub=st.A_ub,
+            b_ub=st.b_ub,
             bounds=np.stack([lb, ub], axis=1),
             method="highs",
         )
@@ -253,11 +327,9 @@ class MPCAgent:
             "soc": [x[self._stage_offsets(s)["soc"] : self._stage_offsets(s)["soc"] + self.n_des] for s in range(N)],
         }
 
-        P_gen = [x[o0["P"] + dm[d]] * self.baseMVA for d in self.non_slack_gen_ids]
-        P_des = [x[o0["P"] + dm[d]] * self.baseMVA for d in self.des_ids]
-        Q_gen = [0.0] * len(P_gen)
-        Q_des = [0.0] * len(P_des)
-        return np.concatenate((P_gen, Q_gen, P_des, Q_des))
+        n_g, n_d = len(self.non_slack_gen_ids), len(self.des_ids)
+        P = x[st.act_idx] * self.baseMVA  # [gens..., des...]
+        return np.concatenate((P[:n_g], np.zeros(n_g), P[n_g:], np.zeros(n_d)))
 
 
 class MPCAgentConstant(MPCAgent):
