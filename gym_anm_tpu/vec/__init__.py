@@ -29,14 +29,19 @@ __all__ = [
     "make_ieee33_multicap_task",
     "make_ieee33_unequal_task",
     "make_anm6easy_task",
+    "make_vec_mpc",
 ]
 
 
 def __getattr__(name):
-    # Lazy: the Gymnasium adapter pulls in gymnasium, which the pure
-    # vec tier otherwise never imports.
+    # Lazy: the Gymnasium adapter pulls in gymnasium, and the MPC tier
+    # pulls in scipy — the pure vec tier otherwise never imports either.
     if name == "GymVectorEnv":
         from .gym_vector import GymVectorEnv
 
         return GymVectorEnv
+    if name == "make_vec_mpc":
+        from .mpc import make_vec_mpc
+
+        return make_vec_mpc
     raise AttributeError(f"module 'gym_anm_tpu.vec' has no attribute {name!r}")

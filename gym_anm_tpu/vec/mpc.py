@@ -1,0 +1,376 @@
+"""On-device batched N-stage DC-OPF MPC.
+
+The host tier (:mod:`gym_anm_tpu.agents.mpc`) solves one LP per env step
+with scipy HiGHS — the shape of the reference's cvxpy agent
+(``gym_anm/agents/mpc.py:161-393``), one host round-trip per action.  This
+module solves the SAME LP (the two tiers share one
+:class:`~gym_anm_tpu.agents.mpc.DCOPFStructure` assembly) for thousands of
+lanes at once, inside ``jit``/``vmap``/``lax.scan``, so MPC-in-the-loop
+rollouts and dataset generation run entirely on the TPU.
+
+The solver is an OSQP-style ADMM.  The key fit to this problem family —
+and to the TPU — is that the constraint matrix is *lane-invariant*: across
+a batch of grids only the bound vector varies (pinned load forecasts,
+renewable potential caps, the stage-0 SoC), so the ADMM's quasi-definite
+KKT system ``(σI + Aᵀdiag(ρ)A) x̃ = rhs`` is factorized ONCE on the host
+and every device iteration is four shared-matrix matvecs — batched into
+``[B,·]@[·,·]`` MXU matmuls under ``vmap``, exactly the pattern of the
+chord load-flow solver (docs/performance.md).  Warm-starting from the
+previous env step's (shifted) solution makes the steady-state iteration
+count a small fraction of the cold solve.
+
+Scaling follows OSQP: modified Ruiz equilibration of A plus cost
+normalization, computed host-side in float64.  Convergence is declared on
+UNSCALED primal/dual residuals with absolute+relative tolerances, checked
+every iteration inside the ``while_loop`` (the residual terms fall out of
+matvecs the iteration already needs).
+
+**Alternate optima.** The DC-OPF LP is frequently degenerate (a zero-cost
+DES/renewable power trade leaves a whole optimal face): HiGHS returns a
+vertex while ADMM converges to some other point of the face, so stage-0
+actions can differ by O(1) MW between the two solvers *at equal objective
+and feasibility* (measured on a 20-step ANM6Easy rollout: objective gap
+≤ 4e-4, constraint violation ≤ 2e-5, action gap up to 2.2 MW on the
+degenerate steps, ≤ 3e-3 MW on the unique-optimum ones).  Tests therefore
+pin action parity on non-degenerate instances and objective parity +
+feasibility along rollouts (tests/test_vec_mpc.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents.mpc import DCOPFStructure
+
+_BIG = 1e20
+_HIGHEST = jax.lax.Precision.HIGHEST
+# Accept a stalled dual residual after this many non-improving iterations
+# (see the exit rule in solve_dcopf).
+_DUAL_STALL_LIMIT = 100
+
+
+class VecDCOPF(NamedTuple):
+    """Host-prefactorized, device-resident batched DC-OPF solver spec.
+
+    All arrays are jnp in the compute dtype except the static numpy index
+    maps (which become constants of the compiled program).
+    """
+
+    # Scaled problem data (OSQP form: min q̄ᵀx̄ s.t. l̄ ≤ Āx̄ ≤ ū).
+    A_bar: jax.Array      # [m, n]
+    M_inv: jax.Array      # [n, n] = (σI + Āᵀdiag(ρ)Ā)⁻¹
+    q_bar: jax.Array      # [n]
+    rho: jax.Array        # [m] per-row step size (equality rows ×1e3)
+    inv_rho: jax.Array    # [m]
+    D: jax.Array          # [n] column scaling (x = D·x̄)
+    D_inv: jax.Array      # [n]
+    E: jax.Array          # [m] row scaling
+    E_inv: jax.Array      # [m]
+    c_scale: jax.Array    # scalar cost scaling
+    # Unscaled bound templates + per-lane slot rows (static indices).
+    l_tmpl: jax.Array     # [m]
+    u_tmpl: jax.Array     # [m]
+    load_rows: np.ndarray  # [n_load, N] rows of l/u pinned to the load forecast
+    gen_rows: np.ndarray   # [n_gen_ns, N] rows of u capped by the potential
+    soc_rows: np.ndarray   # [n_des] equality rows carrying init_soc
+    gen_pmax: jax.Array    # [n_gen_ns] static generator upper bounds
+    # Solution extraction.
+    act_idx: np.ndarray    # stage-0 P variable indices (gens then DES)
+    baseMVA: float
+    # ADMM constants.
+    sigma: float
+    alpha: float
+    max_iter: int
+    eps_abs: float
+    eps_rel: float
+    n: int
+    m: int
+
+
+class DCOPFSolution(NamedTuple):
+    x: jax.Array          # [n] unscaled primal solution
+    warm: tuple           # (x̄, ȳ, z̄, Āx̄) — pass back in to warm-start
+    iterations: jax.Array  # int32
+    r_prim: jax.Array     # unscaled ∞-norm primal residual
+    r_dual: jax.Array     # unscaled ∞-norm dual residual
+    converged: jax.Array  # bool
+
+
+def _ruiz_equilibrate(A, q, iters=15):
+    """OSQP's modified Ruiz scaling (∞-norm), host float64.
+
+    Returns (D, E, c) with Ā = diag(E)·A·diag(D), q̄ = c·D·q.
+    """
+    m, n = A.shape
+    D = np.ones(n)
+    E = np.ones(m)
+    c = 1.0
+    q = np.asarray(q, dtype=np.float64)
+    for _ in range(iters):
+        Ab = E[:, None] * A * D[None, :]
+        col = np.max(np.abs(Ab), axis=0)
+        row = np.max(np.abs(Ab), axis=1)
+        col[col == 0] = 1.0
+        row[row == 0] = 1.0
+        D *= 1.0 / np.sqrt(col)
+        E *= 1.0 / np.sqrt(row)
+        # Cost normalization (P = 0, so only the linear term matters).
+        qn = np.max(np.abs(c * D * q))
+        if qn > 0:
+            gamma = 1.0 / np.sqrt(qn)
+            c *= gamma
+    return D, E, c
+
+
+def make_vec_dcopf(
+    structure: DCOPFStructure,
+    dtype=jnp.float32,
+    rho: float = 1.0,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    max_iter: int = 4000,
+    eps_abs: float = 1e-5,
+    eps_rel: float = 1e-5,
+) -> VecDCOPF:
+    """Prefactorize a :class:`DCOPFStructure` into a device solver spec."""
+    n = structure.n_var
+    A_eq = structure.A_eq.toarray().astype(np.float64)
+    n_eq = A_eq.shape[0]
+    if structure.A_ub is not None:
+        A_ub = structure.A_ub.toarray().astype(np.float64)
+        b_ub = np.asarray(structure.b_ub, dtype=np.float64)
+    else:
+        A_ub = np.zeros((0, n))
+        b_ub = np.zeros(0)
+    n_ub = A_ub.shape[0]
+    A = np.vstack([A_eq, A_ub, np.eye(n)])
+    m = A.shape[0]
+
+    l_tmpl = np.concatenate([structure.b_eq, np.full(n_ub, -np.inf), structure.lb])
+    u_tmpl = np.concatenate([structure.b_eq, b_ub, structure.ub])
+    l_tmpl = np.where(np.isfinite(l_tmpl), l_tmpl, -_BIG)
+    u_tmpl = np.where(np.isfinite(u_tmpl), u_tmpl, _BIG)
+
+    D, E, c_scale = _ruiz_equilibrate(A, structure.c)
+    A_bar = E[:, None] * A * D[None, :]
+    q_bar = c_scale * D * structure.c
+
+    # Per-row step size: equality rows (template l == u; the load-pin rows
+    # are l == u at runtime too) take the stiff 1e3·ρ, like OSQP.
+    is_eq = np.abs(u_tmpl - l_tmpl) < 1e-12
+    rho_v = np.where(is_eq, 1e3 * rho, rho)
+
+    M = sigma * np.eye(n) + A_bar.T @ (rho_v[:, None] * A_bar)
+    M_inv = np.linalg.inv(M)
+
+    bound0 = n_eq + n_ub  # first identity (variable-bound) row
+    return VecDCOPF(
+        A_bar=jnp.asarray(A_bar, dtype=dtype),
+        M_inv=jnp.asarray(M_inv, dtype=dtype),
+        q_bar=jnp.asarray(q_bar, dtype=dtype),
+        rho=jnp.asarray(rho_v, dtype=dtype),
+        inv_rho=jnp.asarray(1.0 / rho_v, dtype=dtype),
+        D=jnp.asarray(D, dtype=dtype),
+        D_inv=jnp.asarray(1.0 / D, dtype=dtype),
+        E=jnp.asarray(E, dtype=dtype),
+        E_inv=jnp.asarray(1.0 / E, dtype=dtype),
+        c_scale=jnp.asarray(c_scale, dtype=dtype),
+        l_tmpl=jnp.asarray(l_tmpl, dtype=dtype),
+        u_tmpl=jnp.asarray(u_tmpl, dtype=dtype),
+        load_rows=bound0 + structure.load_pin_idx,
+        gen_rows=bound0 + structure.gen_cap_idx,
+        soc_rows=structure.soc_rows,
+        gen_pmax=jnp.asarray(structure.gen_pmax, dtype=dtype),
+        act_idx=structure.act_idx,
+        baseMVA=float(structure.baseMVA),
+        sigma=float(sigma),
+        alpha=float(alpha),
+        max_iter=int(max_iter),
+        eps_abs=float(eps_abs),
+        eps_rel=float(eps_rel),
+        n=int(n),
+        m=int(m),
+    )
+
+
+def lane_bounds(spec: VecDCOPF, P_load, P_pot, init_soc):
+    """Per-lane UNSCALED (l, u) from the current grid state (all p.u.).
+
+    ``P_load`` [n_load] or [n_load, N] (constant forecast broadcast when
+    1-D); likewise ``P_pot`` [n_gen_ns(, N)]; ``init_soc`` [n_des].
+    """
+    N = spec.load_rows.shape[1]
+    dt = spec.l_tmpl.dtype
+    P_load = jnp.asarray(P_load, dtype=dt)
+    P_pot = jnp.asarray(P_pot, dtype=dt)
+    init_soc = jnp.asarray(init_soc, dtype=dt)
+    if P_load.ndim == 1:
+        P_load = jnp.broadcast_to(P_load[:, None], spec.load_rows.shape)
+    if P_pot.ndim == 1:
+        P_pot = jnp.broadcast_to(P_pot[:, None], spec.gen_rows.shape)
+    gen_cap = jnp.minimum(spec.gen_pmax[:, None], P_pot)
+
+    l = spec.l_tmpl.at[spec.load_rows.ravel()].set(P_load.ravel())
+    u = spec.u_tmpl.at[spec.load_rows.ravel()].set(P_load.ravel())
+    u = u.at[spec.gen_rows.ravel()].set(gen_cap.ravel())
+    l = l.at[spec.soc_rows].set(init_soc)
+    u = u.at[spec.soc_rows].set(init_soc)
+    return l, u
+
+
+def init_warm(spec: VecDCOPF):
+    """Cold-start ADMM state (scaled space): zeros."""
+    dt = spec.l_tmpl.dtype
+    z = jnp.zeros(spec.m, dtype=dt)
+    return (jnp.zeros(spec.n, dtype=dt), jnp.zeros(spec.m, dtype=dt), z, z)
+
+
+def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
+    """Solve one lane's DC-OPF by ADMM; ``vmap`` for a batch.
+
+    ``l``/``u`` are the unscaled per-lane bounds from :func:`lane_bounds`;
+    ``warm`` is a previous solution's ``.warm`` tuple (scaled space).
+    """
+    if warm is None:
+        warm = init_warm(spec)
+    x, y, z, Ax = warm
+
+    # Scale the bounds; infinities stay ±BIG so clip() passes them through.
+    l_bar = jnp.where(l <= -_BIG, -_BIG, spec.E * l)
+    u_bar = jnp.where(u >= _BIG, _BIG, spec.E * u)
+
+    q_ref = jnp.max(jnp.abs(spec.D_inv * spec.q_bar)) / spec.c_scale
+
+    def cond(carry):
+        it, done = carry[4], carry[-1]
+        return jnp.logical_and(it < spec.max_iter, jnp.logical_not(done))
+
+    def body(carry):
+        x, y, z, Ax, it, _, _, best_rd, stall, _ = carry
+        # Shared-matrix matvecs (the MXU work; HIGHEST: convergence-feeding).
+        t_z = jnp.dot(spec.rho * z, spec.A_bar, precision=_HIGHEST)   # Āᵀ(ρz)
+        t_y = jnp.dot(y, spec.A_bar, precision=_HIGHEST)              # Āᵀy
+        rhs = spec.sigma * x - spec.q_bar + t_z - t_y
+        xt = jnp.dot(spec.M_inv, rhs, precision=_HIGHEST)
+        zt = jnp.dot(spec.A_bar, xt, precision=_HIGHEST)              # Āx̃
+
+        x_new = spec.alpha * xt + (1.0 - spec.alpha) * x
+        Ax_new = spec.alpha * zt + (1.0 - spec.alpha) * Ax
+        z_pre = spec.alpha * zt + (1.0 - spec.alpha) * z + spec.inv_rho * y
+        z_new = jnp.clip(z_pre, l_bar, u_bar)
+        y_new = spec.rho * (z_pre - z_new)
+
+        # Unscaled residuals of the NEW iterate.  The dual residual's
+        # Āᵀy_new matvec is next iteration's t_y — here we estimate it from
+        # the identities y_new = ρ(z_pre − z_new) without an extra matvec:
+        # OSQP's dual residual q + Aᵀy is evaluated one iteration late
+        # (t_y above belongs to the carried y), which only delays the exit
+        # by a single iteration.
+        r_prim = jnp.max(jnp.abs(spec.E_inv * (Ax_new - z_new)))
+        r_dual = jnp.max(jnp.abs(spec.D_inv * (spec.q_bar + t_y))) / spec.c_scale
+        p_ref = jnp.maximum(
+            jnp.max(jnp.abs(spec.E_inv * Ax_new)), jnp.max(jnp.abs(spec.E_inv * z_new))
+        )
+        d_ref = jnp.maximum(jnp.max(jnp.abs(spec.D_inv * t_y)) / spec.c_scale, q_ref)
+        # Exit rule: primal within tolerance AND (dual within tolerance OR
+        # dual plateaued).  In float32 the dual residual MEASUREMENT —
+        # cancellation inside q + Aᵀy — floors around 1e-3·‖q‖∞ while the
+        # iterates themselves keep matching the f64/HiGHS solution, so a
+        # strict dual test would burn max_iter for nothing.  Same
+        # best-so-far plateau-acceptance design as the chord load-flow
+        # solver (physics/power_flow.py).
+        improved = r_dual < best_rd * (1.0 - 1e-3)
+        best_rd_new = jnp.minimum(best_rd, r_dual)
+        stall_new = jnp.where(improved, 0, stall + 1).astype(jnp.int32)
+        prim_ok = r_prim <= spec.eps_abs + spec.eps_rel * p_ref
+        dual_ok = jnp.logical_or(
+            r_dual <= spec.eps_abs + spec.eps_rel * d_ref,
+            stall_new >= _DUAL_STALL_LIMIT,
+        )
+        done = jnp.logical_and(prim_ok, dual_ok)
+        return (x_new, y_new, z_new, Ax_new, it + 1, r_prim, r_dual,
+                best_rd_new, stall_new, done)
+
+    dt = spec.l_tmpl.dtype
+    inf = jnp.asarray(jnp.inf, dt)
+    carry0 = (x, y, z, Ax, jnp.int32(0), inf, inf, inf, jnp.int32(0),
+              jnp.asarray(False))
+    x, y, z, Ax, it, r_prim, r_dual, _, _, done = jax.lax.while_loop(cond, body, carry0)
+    return DCOPFSolution(
+        x=spec.D * x,
+        warm=(x, y, z, Ax),
+        iterations=it,
+        r_prim=r_prim,
+        r_dual=r_dual,
+        converged=done,
+    )
+
+
+# ----------------------------------------------------------------------
+# VecEnv controller wrapper
+# ----------------------------------------------------------------------
+
+def make_vec_mpc(
+    env,
+    gamma: float,
+    safety_margin: float = 0.9,
+    planning_steps: int = 1,
+    rho: float = 1.0,
+    max_iter: int = 4000,
+    eps_abs: float = 1e-5,
+    eps_rel: float = 1e-5,
+):
+    """An on-device π_MPC-N^constant for a :class:`~gym_anm_tpu.vec.VecEnv`.
+
+    Returns a ``Controller(name, init_carry, act)`` (the vec controller
+    protocol): ``act(key, state, obs, carry)`` solves the N-stage DC-OPF
+    for the lane's current loads/potentials/SoC — the constant-forecast
+    policy of the reference ``MPCAgentConstant`` (mpc_constant.py:7-35) —
+    entirely inside the compiled step.  The carry holds the lane's scaled
+    ADMM state, so successive env steps warm-start from the previous
+    (near-identical) program's solution.
+    """
+    from ..agents.mpc import MPCAgent
+    from ..env.simulator import Simulator
+    from .controllers import Controller
+
+    sim = Simulator(env.task.network, env.task.delta_t, env.task.lamb)
+    agent = MPCAgent.__new__(MPCAgent)
+    MPCAgent.__init__(agent, sim, action_space=None, gamma=gamma,
+                      safety_margin=safety_margin, planning_steps=planning_steps)
+    spec = env.spec
+
+    # The EnvState arrays are position-ordered; pin the agent's id-ordered
+    # views to the same layout before wiring them together.
+    dm = agent.dev_id_mapping
+    assert np.array_equal([dm[i] for i in agent.load_ids], spec.load_pos)
+    assert np.array_equal([dm[i] for i in agent.non_slack_gen_ids], spec.gen_nonslack_pos)
+    assert np.array_equal([dm[i] for i in agent.des_ids], spec.des_pos)
+
+    dc = make_vec_dcopf(
+        agent.structure, dtype=env.dtype, rho=rho, max_iter=max_iter,
+        eps_abs=eps_abs, eps_rel=eps_rel,
+    )
+    n_g = len(agent.non_slack_gen_ids)
+    load_pos = np.asarray(spec.load_pos)
+    sl = env._action_slices
+
+    def init_carry(key):
+        return init_warm(dc)
+
+    def act(key, state, obs, carry):
+        l, u = lane_bounds(dc, state.dev_p[load_pos], state.p_pot, state.soc)
+        sol = solve_dcopf(dc, l, u, warm=carry)
+        P = sol.x[dc.act_idx] * dc.baseMVA
+        a = jnp.zeros(env.n_action, dtype=env.dtype)
+        a = a.at[sl["P_gen"]].set(P[:n_g].astype(env.dtype))
+        a = a.at[sl["P_des"]].set(P[n_g:].astype(env.dtype))
+        a = a.at[sl["tap"]].set(1.0)
+        a = jnp.clip(a, env.action_low, env.action_high)
+        return a, sol.warm
+
+    return Controller(f"MPC{planning_steps}_constant", init_carry, act)

@@ -32,6 +32,7 @@ MODULES = [
     ("gym_anm_tpu.vec.tasks", "Vectorized task definitions"),
     ("gym_anm_tpu.vec.controllers", "Vectorized L0-L5 controllers"),
     ("gym_anm_tpu.vec.experts", "Vectorized heuristic experts"),
+    ("gym_anm_tpu.vec.mpc", "On-device batched ADMM DC-OPF MPC"),
     ("gym_anm_tpu.agents.mpc", "MPC DC-OPF agents"),
     ("gym_anm_tpu.agents", "Controller hierarchies"),
     ("gym_anm_tpu.offline", "Offline-RL utilities + expert zoo"),

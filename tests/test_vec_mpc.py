@@ -1,0 +1,257 @@
+"""On-device batched ADMM DC-OPF MPC (gym_anm_tpu.vec.mpc).
+
+Ground truth is scipy HiGHS solving the SAME DCOPFStructure the ADMM
+solver consumes (both tiers share one assembly — agents/mpc.py), so any
+disagreement is solver error, not formulation drift.  Measured errors on
+ANM6Easy: f64 N=1 → 3.9e-4 MW, f32 N=1 → 3.0e-3 MW, f32 N=4 → 8.8e-4 MW
+stage-0 action deviation; tolerances below are ~5× those floors.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from gym_anm_tpu.agents.mpc import MPCAgentConstant
+from gym_anm_tpu.compat import ANM6Easy
+from gym_anm_tpu.vec import VecEnv, make_anm6easy_task
+from gym_anm_tpu.vec.mpc import (
+    init_warm,
+    lane_bounds,
+    make_vec_dcopf,
+    make_vec_mpc,
+    solve_dcopf,
+)
+
+
+@pytest.fixture(scope="module")
+def host_problem():
+    """(agent, P_load, P_gen, init_soc) from a stepped ANM6Easy env."""
+    rng_state = np.random.get_state()
+    np.random.seed(0)
+    env = ANM6Easy()
+    env.reset(seed=0)
+    # Deterministic mid-range actions (space.sample() carries its own
+    # OS-entropy RNG — a different LP instance every run).
+    a_mid = (env.action_space.low + env.action_space.high) / 2.0
+    for _ in range(3):
+        env.step(a_mid)
+    np.random.set_state(rng_state)
+
+    def build(N):
+        agent = MPCAgentConstant(
+            env.simulator, env.action_space, gamma=0.995,
+            safety_margin=0.96, planning_steps=N,
+        )
+        P_load, P_gen = agent.forecast(env)
+        init_soc = np.array(
+            [env.simulator.state["des_soc"]["pu"][i] for i in agent.des_ids]
+        )
+        return agent, P_load, P_gen, init_soc
+
+    return build
+
+
+def _highs_action(st, P_load, P_gen, init_soc):
+    lb, ub, b_eq = st.lb.copy(), st.ub.copy(), st.b_eq.copy()
+    lb[st.load_pin_idx] = P_load
+    ub[st.load_pin_idx] = P_load
+    ub[st.gen_cap_idx] = np.minimum(st.gen_pmax[:, None], P_gen)
+    b_eq[st.soc_rows] = init_soc
+    res = linprog(
+        st.c, A_eq=st.A_eq, b_eq=b_eq, A_ub=st.A_ub, b_ub=st.b_ub,
+        bounds=np.stack([lb, ub], axis=1), method="highs",
+    )
+    assert res.success
+    return res.x[st.act_idx] * st.baseMVA, res.fun
+
+
+@pytest.mark.parametrize(
+    "N,dtype,tol_mw",
+    [(1, jnp.float64, 5e-3), (1, jnp.float32, 2e-2), (4, jnp.float32, 2e-2)],
+)
+def test_admm_matches_highs(host_problem, N, dtype, tol_mw):
+    """Stage-0 action parity vs HiGHS on the live ANM6Easy DC-OPF."""
+    agent, P_load, P_gen, init_soc = host_problem(N)
+    st = agent.structure
+    a_ref, obj_ref = _highs_action(st, P_load, P_gen, init_soc)
+
+    dc = make_vec_dcopf(st, dtype=dtype, max_iter=10000)
+    l, u = lane_bounds(dc, jnp.asarray(P_load), jnp.asarray(P_gen),
+                       jnp.asarray(init_soc))
+    sol = jax.jit(lambda l, u: solve_dcopf(dc, l, u))(l, u)
+    assert bool(sol.converged)
+    a = np.asarray(sol.x)[st.act_idx] * st.baseMVA
+    assert np.max(np.abs(a - a_ref)) <= tol_mw
+    # Objective agreement (the LP optimum, not just a feasible point).
+    obj = float(st.c @ np.asarray(sol.x, dtype=np.float64))
+    assert abs(obj - obj_ref) <= 1e-3 * max(1.0, abs(obj_ref))
+
+
+def test_vmap_batch_matches_per_lane_highs(host_problem):
+    """3 lanes with different pinned loads, one vmapped solve; each lane
+    matches its own HiGHS solution."""
+    agent, P_load, P_gen, init_soc = host_problem(1)
+    st = agent.structure
+    dc = make_vec_dcopf(st, dtype=jnp.float32)
+
+    scales = [0.8, 1.0, 1.2]
+    ls, us, refs = [], [], []
+    for s in scales:
+        l, u = lane_bounds(dc, jnp.asarray(P_load * s), jnp.asarray(P_gen),
+                           jnp.asarray(init_soc))
+        ls.append(l)
+        us.append(u)
+        refs.append(_highs_action(st, P_load * s, P_gen, init_soc)[0])
+
+    sols = jax.jit(jax.vmap(lambda l, u: solve_dcopf(dc, l, u)))(
+        jnp.stack(ls), jnp.stack(us)
+    )
+    assert bool(jnp.all(sols.converged))
+    acts = np.asarray(sols.x)[:, st.act_idx] * st.baseMVA
+    for a, a_ref in zip(acts, refs):
+        assert np.max(np.abs(a - a_ref)) <= 2e-2
+
+
+def test_warm_start_cuts_iterations(host_problem):
+    """Re-solving the same lane from its own warm tuple is much cheaper
+    than the cold solve (the controller's step-to-step regime)."""
+    agent, P_load, P_gen, init_soc = host_problem(4)
+    dc = make_vec_dcopf(agent.structure, dtype=jnp.float32)
+    l, u = lane_bounds(dc, jnp.asarray(P_load), jnp.asarray(P_gen),
+                       jnp.asarray(init_soc))
+    cold = jax.jit(lambda l, u: solve_dcopf(dc, l, u))(l, u)
+    warm = jax.jit(lambda l, u, w: solve_dcopf(dc, l, u, warm=w))(l, u, cold.warm)
+    assert bool(warm.converged)
+    assert int(warm.iterations) < int(cold.iterations) // 2
+
+
+def test_lane_bounds_slot_mapping(host_problem):
+    """lane_bounds writes exactly the host _solve slots: pinned loads
+    (l == u), capped gens (u = min(pmax, pot)), SoC equality rows."""
+    agent, P_load, P_gen, init_soc = host_problem(2)
+    st = agent.structure
+    dc = make_vec_dcopf(st, dtype=jnp.float64)
+    l, u = map(np.asarray, lane_bounds(
+        dc, jnp.asarray(P_load), jnp.asarray(P_gen), jnp.asarray(init_soc)
+    ))
+    n_eq = st.A_eq.shape[0]
+    n_ub = st.A_ub.shape[0] if st.A_ub is not None else 0
+    bound0 = n_eq + n_ub
+    np.testing.assert_allclose(l[bound0 + st.load_pin_idx], P_load, atol=1e-12)
+    np.testing.assert_allclose(u[bound0 + st.load_pin_idx], P_load, atol=1e-12)
+    np.testing.assert_allclose(
+        u[bound0 + st.gen_cap_idx], np.minimum(st.gen_pmax[:, None], P_gen),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(l[st.soc_rows], init_soc, atol=1e-12)
+    np.testing.assert_allclose(u[st.soc_rows], init_soc, atol=1e-12)
+    # Untouched rows keep the (finite-clamped) template.
+    touched = np.zeros(dc.m, dtype=bool)
+    touched[bound0 + st.load_pin_idx.ravel()] = True
+    touched[bound0 + st.gen_cap_idx.ravel()] = True
+    touched[st.soc_rows] = True
+    np.testing.assert_array_equal(l[~touched], np.asarray(dc.l_tmpl)[~touched])
+    np.testing.assert_array_equal(u[~touched], np.asarray(dc.u_tmpl)[~touched])
+
+
+def test_vec_mpc_controller_rollout():
+    """make_vec_mpc rolls out inside the compiled vec step at informed-
+    controller reward levels (random ANM6 actions collapse to ~-100s)."""
+    from gym_anm_tpu.offline_vec import evaluate_controller_vec
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc(env, gamma=0.995, safety_margin=0.96, planning_steps=1)
+    m = evaluate_controller_vec(env, ctrl, jax.random.PRNGKey(0), batch=4, steps=6)
+    assert np.isfinite(m)
+    assert m > -5.0
+
+
+def test_act_program_is_f64_free():
+    """The controller's compiled act program must not drag emulated-f64
+    chains onto the TPU (tests/test_no_f64_hotpath.py rationale)."""
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc(env, gamma=0.995, planning_steps=1)
+    state, _ = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 4)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    carry = jax.vmap(ctrl.init_carry)(jax.random.split(jax.random.PRNGKey(1), 4))
+    hlo = (
+        jax.jit(jax.vmap(ctrl.act))
+        .lower(keys, state, jnp.zeros((4, env.n_obs), jnp.float32), carry)
+        .compile()
+        .as_text()
+    )
+    leaks = re.findall(r"f64\[[0-9,]*\][^ ]* (\w+)", hlo)
+    assert not leaks, f"vec MPC act leaks f64 ops: {leaks[:10]}"
+
+
+def test_rollout_objective_parity_vs_highs():
+    """Along a live warm-started rollout the LP is frequently DEGENERATE
+    (zero-cost DES/renewable trades): ADMM then returns a different point
+    of the optimal face than HiGHS' vertex, so the invariant to pin is
+    objective parity + feasibility, not action parity (module docstring;
+    measured action gaps reach 2.2 MW at equal objective)."""
+    from gym_anm_tpu.agents.mpc import MPCAgent
+    from gym_anm_tpu.env.simulator import Simulator
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    sim = Simulator(env.task.network, env.task.delta_t, env.task.lamb)
+    agent = MPCAgent.__new__(MPCAgent)
+    MPCAgent.__init__(agent, sim, action_space=None, gamma=0.995,
+                      safety_margin=0.9, planning_steps=1)
+    st = agent.structure
+    dc = make_vec_dcopf(st, dtype=jnp.float32, max_iter=10000)
+    load_pos = np.asarray(env.spec.load_pos)
+    sl = env._action_slices
+    n_g = len(agent.non_slack_gen_ids)
+    n_eq = st.A_eq.shape[0]
+    n_ub = st.A_ub.shape[0] if st.A_ub is not None else 0
+    bound0 = n_eq + n_ub
+
+    solve = jax.jit(lambda l, u, w: solve_dcopf(dc, l, u, warm=w))
+    step = jax.jit(env.step)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    warm = init_warm(dc)
+    for t in range(8):
+        l, u = lane_bounds(dc, state.dev_p[load_pos], state.p_pot, state.soc)
+        sol = solve(l, u, warm)
+        warm = sol.warm
+        x = np.asarray(sol.x, dtype=np.float64)
+        ln, un = np.asarray(l, np.float64), np.asarray(u, np.float64)
+
+        res = linprog(
+            st.c, A_eq=st.A_eq, b_eq=ln[:n_eq], A_ub=st.A_ub,
+            b_ub=un[n_eq:bound0],
+            bounds=np.stack([ln[bound0:], un[bound0:]], axis=1),
+            method="highs",
+        )
+        assert res.success
+        obj = st.c @ x
+        assert obj <= res.fun + 1e-3 * max(1.0, abs(res.fun)), t
+        # Feasibility at solver tolerance.
+        assert np.max(np.abs(st.A_eq @ x - ln[:n_eq])) <= 1e-3, t
+        if st.A_ub is not None:
+            assert np.max(st.A_ub @ x - un[n_eq:bound0]) <= 1e-3, t
+        assert np.max(ln[bound0:] - x) <= 1e-3 and np.max(x - un[bound0:]) <= 1e-3, t
+
+        P = sol.x[dc.act_idx] * dc.baseMVA
+        a = jnp.zeros(env.n_action, dtype=env.dtype)
+        a = a.at[sl["P_gen"]].set(P[:n_g].astype(env.dtype))
+        a = a.at[sl["P_des"]].set(P[n_g:].astype(env.dtype))
+        a = a.at[sl["tap"]].set(1.0)
+        a = jnp.clip(a, env.action_low, env.action_high)
+        state, _, r, d, _ = step(state, a)
+        assert np.isfinite(float(r)) and not bool(d)
+
+
+def test_cold_warm_tuple_shapes(host_problem):
+    agent, *_ = host_problem(1)
+    dc = make_vec_dcopf(agent.structure, dtype=jnp.float32)
+    x, y, z, Ax = init_warm(dc)
+    assert x.shape == (dc.n,) and y.shape == (dc.m,)
+    assert z.shape == (dc.m,) and Ax.shape == (dc.m,)
