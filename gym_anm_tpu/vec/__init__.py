@@ -30,6 +30,7 @@ __all__ = [
     "make_ieee33_unequal_task",
     "make_anm6easy_task",
     "make_vec_mpc",
+    "make_vec_mpc_perfect",
 ]
 
 
@@ -40,8 +41,8 @@ def __getattr__(name):
         from .gym_vector import GymVectorEnv
 
         return GymVectorEnv
-    if name == "make_vec_mpc":
-        from .mpc import make_vec_mpc
+    if name in ("make_vec_mpc", "make_vec_mpc_perfect"):
+        from . import mpc
 
-        return make_vec_mpc
+        return getattr(mpc, name)
     raise AttributeError(f"module 'gym_anm_tpu.vec' has no attribute {name!r}")

@@ -323,6 +323,8 @@ def make_vec_mpc(
     max_iter: int = 4000,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
+    forecast_fn=None,
+    name: Optional[str] = None,
 ):
     """An on-device π_MPC-N^constant for a :class:`~gym_anm_tpu.vec.VecEnv`.
 
@@ -333,6 +335,10 @@ def make_vec_mpc(
     entirely inside the compiled step.  The carry holds the lane's scaled
     ADMM state, so successive env steps warm-start from the previous
     (near-identical) program's solution.
+
+    ``forecast_fn(state) -> (P_load, P_pot)`` (p.u.; ``[n_load(, N)]`` /
+    ``[n_gen_ns(, N)]``) overrides the constant forecast — the hook
+    :func:`make_vec_mpc_perfect` uses for known future profiles.
     """
     from ..agents.mpc import MPCAgent
     from ..env.simulator import Simulator
@@ -363,7 +369,11 @@ def make_vec_mpc(
         return init_warm(dc)
 
     def act(key, state, obs, carry):
-        l, u = lane_bounds(dc, state.dev_p[load_pos], state.p_pot, state.soc)
+        if forecast_fn is None:
+            P_load, P_pot = state.dev_p[load_pos], state.p_pot
+        else:
+            P_load, P_pot = forecast_fn(state)
+        l, u = lane_bounds(dc, P_load, P_pot, state.soc)
         sol = solve_dcopf(dc, l, u, warm=carry)
         P = sol.x[dc.act_idx] * dc.baseMVA
         a = jnp.zeros(env.n_action, dtype=env.dtype)
@@ -373,4 +383,62 @@ def make_vec_mpc(
         a = jnp.clip(a, env.action_low, env.action_high)
         return a, sol.warm
 
-    return Controller(f"MPC{planning_steps}_constant", init_carry, act)
+    return Controller(name or f"MPC{planning_steps}_constant", init_carry, act)
+
+
+def profile_forecast_fn(env, planning_steps: int, tables_mw: Optional[tuple] = None):
+    """``forecast_fn(state)`` gathering the next N stages of a task's
+    periodic profile tables (p.u.), indexed by the ``aux`` time-of-day.
+
+    Stage offsets start at +1: the agent plans for the vars the env will
+    draw NEXT (reference ``mpc_perfect.py``: ``t_start = state[-1] + 1``,
+    wrapping by table concatenation ≡ mod T here).
+    """
+    if tables_mw is None:
+        if env.task.name != "anm6easy":
+            raise ValueError(
+                "profile_forecast_fn needs explicit tables_mw for task "
+                f"{env.task.name!r} (only anm6easy has built-in profiles)"
+            )
+        from ..compat.anm6_easy import _get_gen_time_series, _get_load_time_series
+
+        tables_mw = (_get_load_time_series(), _get_gen_time_series())
+
+    base = float(env.spec.baseMVA)
+    loads_pu = jnp.asarray(np.asarray(tables_mw[0]) / base, dtype=env.dtype)
+    maxs_pu = jnp.asarray(np.asarray(tables_mw[1]) / base, dtype=env.dtype)
+    T = loads_pu.shape[1]
+    offs = jnp.arange(1, planning_steps + 1, dtype=jnp.int32)
+
+    def forecast_fn(state):
+        idx = jnp.mod(state.aux[-1].astype(jnp.int32) + offs, T)
+        return loads_pu[:, idx], maxs_pu[:, idx]
+
+    return forecast_fn
+
+
+def make_vec_mpc_perfect(
+    env,
+    gamma: float,
+    safety_margin: float = 0.9,
+    planning_steps: int = 8,
+    tables_mw: Optional[tuple] = None,
+    **kw,
+):
+    """π_MPC-N^perfect for a :class:`~gym_anm_tpu.vec.VecEnv` over a task
+    with KNOWN periodic profiles — the vec analogue of
+    :class:`~gym_anm_tpu.agents.mpc.MPCAgentPerfect`
+    (reference ``mpc_perfect.py:7-40``, which is likewise ANM6-specific:
+    it reads ``env.P_loads``/``env.P_maxs``).
+
+    The forecast for stage k is the profile column ``(aux + k) mod T`` —
+    a static-shape gather from trace-time constant tables, so the act
+    program stays one compiled solve.  ``tables_mw = (P_loads [n_load, T],
+    P_maxs [n_gen_ns, T])`` in MW (loads negative); defaults to the
+    ANM6Easy daily profiles when the env runs the ``anm6easy`` task.
+    """
+    forecast_fn = profile_forecast_fn(env, planning_steps, tables_mw)
+    return make_vec_mpc(
+        env, gamma, safety_margin=safety_margin, planning_steps=planning_steps,
+        forecast_fn=forecast_fn, name=f"MPC{planning_steps}_perfect", **kw,
+    )

@@ -23,6 +23,7 @@ from gym_anm_tpu.vec.mpc import (
     lane_bounds,
     make_vec_dcopf,
     make_vec_mpc,
+    make_vec_mpc_perfect,
     solve_dcopf,
 )
 
@@ -247,6 +248,107 @@ def test_rollout_objective_parity_vs_highs():
         a = jnp.clip(a, env.action_low, env.action_high)
         state, _, r, d, _ = step(state, a)
         assert np.isfinite(float(r)) and not bool(d)
+
+
+def test_profile_forecast_matches_reference_agent():
+    """profile_forecast_fn reproduces MPCAgentPerfect.forecast exactly,
+    including the day-boundary wraparound (mpc_perfect.py:7-40 does it by
+    table concatenation; the vec hook by mod-96 gather)."""
+    from types import SimpleNamespace
+
+    from gym_anm_tpu.agents.mpc import MPCAgentPerfect
+    from gym_anm_tpu.compat.anm6_easy import (
+        _get_gen_time_series,
+        _get_load_time_series,
+    )
+    from gym_anm_tpu.vec.mpc import profile_forecast_fn
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    N = 5
+    fc = profile_forecast_fn(env, N)
+
+    # MPCAgentPerfect.forecast reads only planning_steps/baseMVA off self
+    # and state[-1]/P_loads/P_maxs off the env.
+    agent = MPCAgentPerfect.__new__(MPCAgentPerfect)
+    agent.planning_steps, agent.baseMVA = N, float(env.spec.baseMVA)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    for t0 in (0, 40, 93, 95):  # 93/95 wrap the 96-column day
+        ld, gn = jax.jit(fc)(state._replace(aux=jnp.array([float(t0)], jnp.float32)))
+        fake = SimpleNamespace(
+            state=np.array([t0], dtype=float),
+            P_loads=_get_load_time_series(),
+            P_maxs=_get_gen_time_series(),
+        )
+        ld_ref, gn_ref = agent.forecast(fake)
+        np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gn), gn_ref, atol=1e-6)
+
+
+def test_admm_perfect_forecast_matches_highs(host_problem):
+    """The N=4 perfect-forecast LP (time-varying pinned loads/caps) solved
+    by ADMM matches HiGHS stage-0 actions and objective."""
+    from gym_anm_tpu.agents.mpc import MPCAgentPerfect
+    from gym_anm_tpu.compat.anm6_easy import (
+        _get_gen_time_series,
+        _get_load_time_series,
+    )
+    from types import SimpleNamespace
+
+    agent, _, _, init_soc = host_problem(4)
+    st = agent.structure
+    # MPCAgentPerfect.forecast reads only planning_steps and baseMVA.
+    pa = MPCAgentPerfect.__new__(MPCAgentPerfect)
+    pa.planning_steps, pa.baseMVA = 4, st.baseMVA
+    fake = SimpleNamespace(
+        state=np.array([17.0]), P_loads=_get_load_time_series(),
+        P_maxs=_get_gen_time_series(),
+    )
+    P_load, P_gen = pa.forecast(fake)
+    a_ref, obj_ref = _highs_action(st, P_load, P_gen, init_soc)
+
+    dc = make_vec_dcopf(st, dtype=jnp.float32, max_iter=10000)
+    l, u = lane_bounds(dc, jnp.asarray(P_load), jnp.asarray(P_gen),
+                       jnp.asarray(init_soc))
+    sol = jax.jit(lambda l, u: solve_dcopf(dc, l, u))(l, u)
+    assert bool(sol.converged)
+    a = np.asarray(sol.x)[st.act_idx] * st.baseMVA
+    assert np.max(np.abs(a - a_ref)) <= 2e-2
+    obj = float(st.c @ np.asarray(sol.x, dtype=np.float64))
+    assert abs(obj - obj_ref) <= 1e-3 * max(1.0, abs(obj_ref))
+
+
+def test_vec_mpc_perfect_rollout():
+    """make_vec_mpc_perfect rolls out on the vec farm at informed-
+    controller reward (same bar as the constant variant)."""
+    from gym_anm_tpu.offline_vec import evaluate_controller_vec
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc_perfect(env, gamma=0.995, safety_margin=0.96,
+                                planning_steps=4)
+    assert ctrl.name == "MPC4_perfect"
+    m = evaluate_controller_vec(env, ctrl, jax.random.PRNGKey(0), batch=4, steps=6)
+    assert np.isfinite(m)
+    assert m > -5.0
+
+
+def test_perfect_act_program_is_f64_free():
+    """The perfect-forecast act program (table gathers + solve) must also
+    stay f64-free on the hot path."""
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc_perfect(env, gamma=0.995, planning_steps=4)
+    state, _ = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 4)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    carry = jax.vmap(ctrl.init_carry)(jax.random.split(jax.random.PRNGKey(1), 4))
+    hlo = (
+        jax.jit(jax.vmap(ctrl.act))
+        .lower(keys, state, jnp.zeros((4, env.n_obs), jnp.float32), carry)
+        .compile()
+        .as_text()
+    )
+    leaks = re.findall(r"f64\[[0-9,]*\][^ ]* (\w+)", hlo)
+    assert not leaks, f"vec perfect MPC act leaks f64 ops: {leaks[:10]}"
 
 
 def test_cold_warm_tuple_shapes(host_problem):
