@@ -21,6 +21,7 @@ applies per-lane masked updates, so each environment lane stops exactly when
 the reference would.
 """
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -29,6 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .complexops import cmatvec
+
+# Anderson depth of the chord accelerator (a trace-time constant; programs
+# must be re-jitted after changing it).  1 is the shipped default; 2 adds a
+# second history pair — measured by scripts/exp_aa_order.py before any
+# default change (see docs/performance.md: acceleration tweaks sit right on
+# the acceptance cliff).
+_AA_ORDER = int(os.environ.get("GYM_ANM_AA_ORDER", "1"))
 
 
 class NRResult(NamedTuple):
@@ -426,7 +434,7 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     stall_limit = 3
 
     def cond(carry):
-        x, F, diff, best, it, stall, g_prev, f_prev = carry
+        x, F, diff, best, it, stall = carry[:6]
         active = jnp.logical_and(diff > xtol, it < lim_iter)
         # Lanes already inside the plateau-acceptance band (≤ 10·xtol) exit
         # after ONE non-improving iteration instead of three: they are
@@ -443,7 +451,7 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         return jnp.logical_and(active, stall < limit)
 
     def body(carry):
-        x, F, diff, best, it, stall, g_prev, f_prev = carry
+        x, F, diff, best, it, stall, g_prev, f_prev, *hist2 = carry
         # Chord direction f and map value g = x + f.
         f = -(invJ0 @ F) + G @ (K @ (H @ F))
         g = x + f
@@ -461,9 +469,6 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         # γ that only shows up on hardware (the acceptance-cliff regression
         # test runs on CPU).  The VPU form is f32-exact and just as fast on
         # 2n-vectors.
-        df = f - f_prev
-        denom = jnp.sum(df * df)
-        gamma = jnp.where(denom > 1e-30, jnp.sum(f * df) / denom, 0.0)
         # First iteration has no history; clamp extrapolation for
         # safety (runaway γ near a stagnating pair).  CRITICAL: disable
         # the acceleration once the residual is within ~100x of xtol —
@@ -475,8 +480,35 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         # contracts monotonically (~0.25/iter) into the plateau rule
         # exactly as before.
         use_aa = jnp.logical_and(it > 0, diff > 100.0 * xtol)
-        gamma = jnp.where(use_aa, jnp.clip(gamma, -5.0, 5.0), 0.0)
-        x = g - gamma * (g - g_prev)
+        if _AA_ORDER == 1:
+            df = f - f_prev
+            denom = jnp.sum(df * df)
+            gamma = jnp.where(denom > 1e-30, jnp.sum(f * df) / denom, 0.0)
+            gamma = jnp.where(use_aa, jnp.clip(gamma, -5.0, 5.0), 0.0)
+            x = g - gamma * (g - g_prev)
+        else:
+            # AA(2): least-squares combine the last TWO history pairs,
+            # min‖f − [df1 df2]γ‖², by 2×2 normal equations.  When the
+            # pairs are near-collinear (or only one exists: it == 1) the
+            # determinant term vanishes and the lane falls back to the
+            # AA(1) secant step.  Same VPU-exact sums as AA(1) (no vdot).
+            g_prev2, f_prev2 = hist2
+            df1 = f - f_prev
+            df2 = f_prev - f_prev2
+            a11 = jnp.sum(df1 * df1)
+            a12 = jnp.sum(df1 * df2)
+            a22 = jnp.sum(df2 * df2)
+            b1 = jnp.sum(f * df1)
+            b2 = jnp.sum(f * df2)
+            det = a11 * a22 - a12 * a12
+            ok2 = jnp.logical_and(it > 1, det > 1e-10 * a11 * a22)
+            safe_det = jnp.where(ok2, det, 1.0)
+            g1_aa1 = jnp.where(a11 > 1e-30, b1 / a11, 0.0)
+            gamma1 = jnp.where(ok2, (b1 * a22 - b2 * a12) / safe_det, g1_aa1)
+            gamma2 = jnp.where(ok2, (a11 * b2 - a12 * b1) / safe_det, 0.0)
+            gamma1 = jnp.where(use_aa, jnp.clip(gamma1, -5.0, 5.0), 0.0)
+            gamma2 = jnp.where(use_aa, jnp.clip(gamma2, -5.0, 5.0), 0.0)
+            x = g - gamma1 * (g - g_prev) - gamma2 * (g_prev - g_prev2)
         F = mismatch(x)
         new_diff = jnp.max(jnp.abs(F))
         # Chord convergence is linear (typical rate ~0.25/iter here).
@@ -490,13 +522,15 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         improving = new_diff < best * 0.8
         stall = jnp.where(improving, 0, stall + 1)
         best = jnp.minimum(best, new_diff)
-        return x, F, new_diff, best, it + 1, stall, g, f
+        out = (x, F, new_diff, best, it + 1, stall, g, f)
+        return out + ((g_prev, f_prev) if _AA_ORDER == 2 else ())
 
-    x, F, diff, _, n_iter, stall, _, _ = jax.lax.while_loop(
-        cond, body,
-        (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-         x0, jnp.zeros_like(F0)),
-    )
+    carry0 = (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32),
+              jnp.zeros((), jnp.int32), x0, jnp.zeros_like(F0))
+    if _AA_ORDER == 2:
+        carry0 = carry0 + (x0, jnp.zeros_like(F0))
+    out = jax.lax.while_loop(cond, body, carry0)
+    x, F, diff, _, n_iter, stall = out[:6]
     # Sanitize the exit for the NR fallback.  Two failure shapes:
     # (a) the iteration overflowed to inf/NaN — `diff > xtol` is then False
     #     for NaN, so without a reset the fallback's loop condition would

@@ -1,0 +1,87 @@
+"""A/B the chord solver's Anderson depth (GYM_ANM_AA_ORDER=1 vs 2).
+
+Measures what decides the tradeoff:
+  * warm-started per-step iteration counts (worst lane + mean) over a
+    random-action VecEnv rollout — the bench regime, where the worst lane
+    sets the batch's wall clock;
+  * cold-solve acceptance at B=8192 over the bench action distribution —
+    the cliff guard (ONE unaccepted lane forces the batch-wide NR
+    fallback; see tests/test_chord_solver.py::test_chord_acceptance_rate_is_total).
+
+Run twice (CPU; iteration counts are hardware-independent):
+
+    GYM_ANM_AA_ORDER=1 python scripts/exp_aa_order.py
+    GYM_ANM_AA_ORDER=2 python scripts/exp_aa_order.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from gym_anm_tpu.physics.power_flow import _AA_ORDER, chord_solve
+from gym_anm_tpu.vec import (
+    VecEnv,
+    make_ieee33_multicap_task,
+    make_ieee33_task,
+)
+
+
+def warm_rollout_iters(task_fn, name, B=2048, steps=40, seeds=(0, 1, 2)):
+    env = VecEnv(task_fn(), dtype=jnp.float32)
+    lo, hi = env.action_low, env.action_high
+    step = jax.jit(env.step_autoreset_batch)
+    worst, mean = [], []
+    for seed in seeds:
+        keys = jax.random.split(jax.random.PRNGKey(seed), B)
+        state, obs = jax.jit(jax.vmap(env.reset))(keys)
+        for t in range(steps):
+            k = jax.random.fold_in(jax.random.PRNGKey(1000 + seed), t)
+            a = lo + jax.random.uniform(k, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+            state, obs, r, d, info = step(state, a)
+            worst.append(int(jnp.max(info["n_iter"])))
+            mean.append(float(jnp.mean(info["n_iter"])))
+    print(f"{name}: worst-lane iters mean {np.mean(worst):.2f} "
+          f"(p95 {np.percentile(worst, 95):.1f}, max {max(worst)}), "
+          f"lane-mean {np.mean(mean):.2f}")
+
+
+def cold_acceptance(B=8192, seeds=(0, 1, 2, 3, 4)):
+    env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    tb = env32.tables
+    n = tb.n_bus - 1
+
+    def lane(p, q, a):
+        inv_da = 1.0 / a - 1.0 / tb.chord_a0
+        dtf_re = -(tb.chord_y_re) * inv_da
+        dtf_im = -(tb.chord_y_im) * inv_da
+        return chord_solve(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+
+    solve = jax.jit(jax.vmap(lane))
+    total_unacc = 0
+    iters = []
+    for seed in seeds:
+        key = jax.random.PRNGKey(seed)
+        qc = jax.random.uniform(key, (B, 2), jnp.float32)
+        taps = jax.random.uniform(jax.random.fold_in(key, 1), (B,), jnp.float32, 0.9, 1.1)
+        q_ns = jnp.zeros((B, n), jnp.float32).at[:, 7].set(qc[:, 0]).at[:, 24].set(qc[:, 1])
+        p_ns = jnp.zeros((B, n), jnp.float32)
+        x, F, diff, it, acc = solve(p_ns, q_ns, taps)
+        total_unacc += int(jnp.sum(~acc))
+        iters.append(int(jnp.max(it)))
+    print(f"cold acceptance: {total_unacc} unaccepted / {B * len(seeds)} lanes, "
+          f"worst-lane cold iters {iters}")
+
+
+if __name__ == "__main__":
+    print(f"AA order = {_AA_ORDER}")
+    cold_acceptance()
+    warm_rollout_iters(make_ieee33_task, "base ieee33")
+    warm_rollout_iters(make_ieee33_multicap_task, "multicap17")
