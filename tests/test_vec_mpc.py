@@ -351,6 +351,29 @@ def test_perfect_act_program_is_f64_free():
     assert not leaks, f"vec perfect MPC act leaks f64 ops: {leaks[:10]}"
 
 
+def test_mpc_in_the_loop_dataset_generation():
+    """The MPC controllers compose with the on-device dataset collector
+    (the warm-start tuple rides the collector's carry threading), so
+    MPC-expert offline datasets generate entirely on device."""
+    from gym_anm_tpu.offline_vec import generate_dataset_vec
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc_perfect(env, gamma=0.995, safety_margin=0.96,
+                                planning_steps=2)
+    batch, steps = 3, 4
+    obs, act, rew, obs2, done = generate_dataset_vec(
+        env, ctrl, jax.random.PRNGKey(0), batch=batch, steps=steps
+    )
+    assert obs.shape == (steps, batch, env.n_obs)
+    assert act.shape == (steps, batch, env.n_action)
+    for arr in (obs, act, rew, obs2):
+        assert np.all(np.isfinite(np.asarray(arr)))
+    lo, hi = np.asarray(env.action_low), np.asarray(env.action_high)
+    assert np.all(act >= lo - 1e-6) and np.all(act <= hi + 1e-6)
+    # MPC actions are informed, not degenerate: rewards at controller level.
+    assert float(np.mean(rew)) > -5.0
+
+
 def test_cold_warm_tuple_shapes(host_problem):
     agent, *_ = host_problem(1)
     dc = make_vec_dcopf(agent.structure, dtype=jnp.float32)
