@@ -16,8 +16,10 @@ KKT system ``(σI + Aᵀdiag(ρ)A) x̃ = rhs`` is factorized ONCE on the host
 and every device iteration is four shared-matrix matvecs — batched into
 ``[B,·]@[·,·]`` MXU matmuls under ``vmap``, exactly the pattern of the
 chord load-flow solver (docs/performance.md).  Warm-starting from the
-previous env step's (shifted) solution makes the steady-state iteration
-count a small fraction of the cold solve.
+previous env step's scaled ADMM state (passed back verbatim — the
+successive LPs differ only in a few bound entries, so no stage shift is
+applied) makes the steady-state iteration count a small fraction of the
+cold solve.
 
 Scaling follows OSQP: modified Ruiz equilibration of A plus cost
 normalization, computed host-side in float64.  Convergence is declared on
@@ -48,9 +50,6 @@ from ..agents.mpc import DCOPFStructure
 
 _BIG = 1e20
 _HIGHEST = jax.lax.Precision.HIGHEST
-# Accept a stalled dual residual after this many non-improving iterations
-# (see the exit rule in solve_dcopf).
-_DUAL_STALL_LIMIT = 100
 
 
 class VecDCOPF(NamedTuple):
@@ -89,6 +88,12 @@ class VecDCOPF(NamedTuple):
     eps_rel: float
     n: int
     m: int
+    # Plateau exit (see solve_dcopf): accept a stalled dual residual after
+    # this many non-improving iterations, but only within the cap (relative
+    # to d_ref) — a lane still orders of magnitude above optimality must
+    # never be declared converged by the stall rule.
+    dual_stall_limit: int = 100
+    dual_plateau_cap: float = 1e-2
 
 
 class DCOPFSolution(NamedTuple):
@@ -135,6 +140,8 @@ def make_vec_dcopf(
     max_iter: int = 4000,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
+    dual_stall_limit: int = 100,
+    dual_plateau_cap: float = 1e-2,
 ) -> VecDCOPF:
     """Prefactorize a :class:`DCOPFStructure` into a device solver spec."""
     n = structure.n_var
@@ -194,6 +201,8 @@ def make_vec_dcopf(
         eps_rel=float(eps_rel),
         n=int(n),
         m=int(m),
+        dual_stall_limit=int(dual_stall_limit),
+        dual_plateau_cap=float(dual_plateau_cap),
     )
 
 
@@ -287,9 +296,14 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         best_rd_new = jnp.minimum(best_rd, r_dual)
         stall_new = jnp.where(improved, 0, stall + 1).astype(jnp.int32)
         prim_ok = r_prim <= spec.eps_abs + spec.eps_rel * p_ref
+        # Plateau acceptance is CAPPED: the f32 measurement floor sits near
+        # 1e-3·‖q‖∞ ≤ dual_plateau_cap·d_ref, but a genuinely slow dual
+        # (ill-conditioned instance) above the cap keeps iterating instead
+        # of being declared converged.
         dual_ok = jnp.logical_or(
             r_dual <= spec.eps_abs + spec.eps_rel * d_ref,
-            stall_new >= _DUAL_STALL_LIMIT,
+            jnp.logical_and(stall_new >= spec.dual_stall_limit,
+                            r_dual <= spec.dual_plateau_cap * d_ref),
         )
         done = jnp.logical_and(prim_ok, dual_ok)
         return (x_new, y_new, z_new, Ax_new, it + 1, r_prim, r_dual,
@@ -297,8 +311,16 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
 
     dt = spec.l_tmpl.dtype
     inf = jnp.asarray(jnp.inf, dt)
+    # Structurally infeasible lanes (a crossed bound row, e.g. a pinned
+    # load outside the variable's box, or a potential cap below a positive
+    # gen p_min) can never satisfy the primal test: skip their loop
+    # entirely (done at entry) and report converged=False so callers can
+    # apply their idle fallback — the host tier's res.success branch
+    # (agents/mpc.py).  Under vmap this also keeps one bad lane from
+    # dragging the batch through max_iter.
+    bounds_ok = jnp.all(l <= u)
     carry0 = (x, y, z, Ax, jnp.int32(0), inf, inf, inf, jnp.int32(0),
-              jnp.asarray(False))
+              jnp.logical_not(bounds_ok))
     x, y, z, Ax, it, r_prim, r_dual, _, _, done = jax.lax.while_loop(cond, body, carry0)
     return DCOPFSolution(
         x=spec.D * x,
@@ -306,7 +328,7 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         iterations=it,
         r_prim=r_prim,
         r_dual=r_dual,
-        converged=done,
+        converged=jnp.logical_and(done, bounds_ok),
     )
 
 
@@ -323,6 +345,7 @@ def make_vec_mpc(
     max_iter: int = 4000,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
+    dual_stall_limit: int = 100,
     forecast_fn=None,
     name: Optional[str] = None,
 ):
@@ -345,9 +368,10 @@ def make_vec_mpc(
     from .controllers import Controller
 
     sim = Simulator(env.task.network, env.task.delta_t, env.task.lamb)
-    agent = MPCAgent.__new__(MPCAgent)
-    MPCAgent.__init__(agent, sim, action_space=None, gamma=gamma,
-                      safety_margin=safety_margin, planning_steps=planning_steps)
+    # The base agent is used only for its problem assembly (structure,
+    # ID maps) — forecast/act stay untouched.
+    agent = MPCAgent(sim, action_space=None, gamma=gamma,
+                     safety_margin=safety_margin, planning_steps=planning_steps)
     spec = env.spec
 
     # The EnvState arrays are position-ordered; pin the agent's id-ordered
@@ -359,7 +383,7 @@ def make_vec_mpc(
 
     dc = make_vec_dcopf(
         agent.structure, dtype=env.dtype, rho=rho, max_iter=max_iter,
-        eps_abs=eps_abs, eps_rel=eps_rel,
+        eps_abs=eps_abs, eps_rel=eps_rel, dual_stall_limit=dual_stall_limit,
     )
     n_g = len(agent.non_slack_gen_ids)
     load_pos = np.asarray(spec.load_pos)
@@ -375,7 +399,10 @@ def make_vec_mpc(
             P_load, P_pot = forecast_fn(state)
         l, u = lane_bounds(dc, P_load, P_pot, state.soc)
         sol = solve_dcopf(dc, l, u, warm=carry)
-        P = sol.x[dc.act_idx] * dc.baseMVA
+        # Idle fallback on non-converged/infeasible lanes — the vec
+        # analogue of the host tier's res.success zero-action branch
+        # (agents/mpc.py); an unconverged iterate is not a dispatch.
+        P = jnp.where(sol.converged, sol.x[dc.act_idx], 0.0) * dc.baseMVA
         a = jnp.zeros(env.n_action, dtype=env.dtype)
         a = a.at[sl["P_gen"]].set(P[:n_g].astype(env.dtype))
         a = a.at[sl["P_des"]].set(P[n_g:].astype(env.dtype))
@@ -405,8 +432,16 @@ def profile_forecast_fn(env, planning_steps: int, tables_mw: Optional[tuple] = N
         tables_mw = (_get_load_time_series(), _get_gen_time_series())
 
     base = float(env.spec.baseMVA)
-    loads_pu = jnp.asarray(np.asarray(tables_mw[0]) / base, dtype=env.dtype)
-    maxs_pu = jnp.asarray(np.asarray(tables_mw[1]) / base, dtype=env.dtype)
+    loads_mw, maxs_mw = (np.asarray(t) for t in tables_mw)
+    if loads_mw.shape[1] != maxs_mw.shape[1]:
+        # jit gathers clamp out-of-range indices SILENTLY — a period
+        # mismatch would otherwise plan against a frozen wrong profile.
+        raise ValueError(
+            "tables_mw periods differ: P_loads has "
+            f"{loads_mw.shape[1]} columns, P_maxs {maxs_mw.shape[1]}"
+        )
+    loads_pu = jnp.asarray(loads_mw / base, dtype=env.dtype)
+    maxs_pu = jnp.asarray(maxs_mw / base, dtype=env.dtype)
     T = loads_pu.shape[1]
     offs = jnp.arange(1, planning_steps + 1, dtype=jnp.int32)
 

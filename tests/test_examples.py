@@ -57,6 +57,11 @@ def test_mpc_examples(name):
     mod.run(steps=3, planning_steps=2)
 
 
+def test_mpc_vec_example():
+    mod = _load("mpc_vec")
+    mod.run(batch=2, steps=3, horizons=(2,))
+
+
 def test_random_agent_example():
     mod = _load("random_agent")
     mod.run(steps=3, render=False, sleep=0)

@@ -202,9 +202,8 @@ def test_rollout_objective_parity_vs_highs():
 
     env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
     sim = Simulator(env.task.network, env.task.delta_t, env.task.lamb)
-    agent = MPCAgent.__new__(MPCAgent)
-    MPCAgent.__init__(agent, sim, action_space=None, gamma=0.995,
-                      safety_margin=0.9, planning_steps=1)
+    agent = MPCAgent(sim, action_space=None, gamma=0.995,
+                     safety_margin=0.9, planning_steps=1)
     st = agent.structure
     dc = make_vec_dcopf(st, dtype=jnp.float32, max_iter=10000)
     load_pos = np.asarray(env.spec.load_pos)
@@ -372,6 +371,55 @@ def test_mpc_in_the_loop_dataset_generation():
     assert np.all(act >= lo - 1e-6) and np.all(act <= hi + 1e-6)
     # MPC actions are informed, not degenerate: rewards at controller level.
     assert float(np.mean(rew)) > -5.0
+
+
+def test_infeasible_lane_skips_loop_and_reports_unconverged(host_problem):
+    """A structurally infeasible lane (crossed bound row) must exit with
+    converged=False after ZERO iterations — not burn max_iter — and must
+    not stall the rest of a vmapped batch."""
+    agent, P_load, P_gen, init_soc = host_problem(1)
+    dc = make_vec_dcopf(agent.structure, dtype=jnp.float32)
+    l, u = lane_bounds(dc, jnp.asarray(P_load), jnp.asarray(P_gen),
+                       jnp.asarray(init_soc))
+    bound0 = dc.m - dc.n
+    l_bad = l.at[bound0 + 3].set(u[bound0 + 3] + 1.0)
+
+    sols = jax.jit(jax.vmap(lambda l, u: solve_dcopf(dc, l, u)))(
+        jnp.stack([l_bad, l]), jnp.stack([u, u])
+    )
+    assert not bool(sols.converged[0])
+    assert int(sols.iterations[0]) == 0
+    assert bool(sols.converged[1])
+    assert int(sols.iterations[1]) < dc.max_iter
+
+
+def test_unconverged_lane_gets_idle_action():
+    """make_vec_mpc applies the idle (zero-dispatch) fallback on lanes the
+    solver did not converge — the host tier's res.success branch
+    (agents/mpc.py: 'Idle fallback')."""
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    # max_iter=1 cannot converge a cold solve: every lane falls back.
+    ctrl = make_vec_mpc(env, gamma=0.995, planning_steps=1, max_iter=1)
+    state, obs = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 2)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    carry = jax.vmap(ctrl.init_carry)(keys)
+    a, _ = jax.jit(jax.vmap(ctrl.act))(keys, state, obs, carry)
+    a = np.asarray(a)
+    sl = env._action_slices
+    assert np.all(a[:, sl["P_gen"]] == 0.0)
+    assert np.all(a[:, sl["P_des"]] == 0.0)
+
+
+def test_profile_forecast_rejects_period_mismatch():
+    """Mismatched table periods must raise, not silently clamp gathers."""
+    from gym_anm_tpu.vec.mpc import profile_forecast_fn
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="periods differ"):
+        profile_forecast_fn(env, 4, tables_mw=(np.zeros((3, 96)),
+                                               np.zeros((2, 48))))
 
 
 def test_cold_warm_tuple_shapes(host_problem):
