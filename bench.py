@@ -104,6 +104,40 @@ def bench_l0l5_dataset(env, batch, n_steps, n_reps):
     return batch * n_steps * n_reps / elapsed
 
 
+def bench_mpc_rollout(batch, n_steps, n_reps):
+    """MPC-in-the-loop farm rollout (workload 4): every lane's N=1 DC-OPF
+    solved by the batched ADMM inside the compiled step (vec/mpc.py) —
+    the regime of MPC-expert offline dataset generation.  ANM6Easy (the
+    reference MPC's own task); warm starts carry across steps."""
+    from gym_anm_tpu.vec import VecEnv, make_anm6easy_task, make_vec_mpc
+
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc(env, gamma=0.995, safety_margin=0.96, planning_steps=1)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    carry0 = jax.vmap(ctrl.init_carry)(keys)
+
+    def run(state, obs, carry, seed):
+        def body(sc, t):
+            st, obs, carry = sc
+            k = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(seed), t), batch)
+            a, carry = jax.vmap(ctrl.act)(k, st, obs, carry)
+            st, obs, r, d, _ = env.step_autoreset_batch(st, a)
+            return (st, obs, carry), r.sum()
+
+        (state, obs, carry), rs = jax.lax.scan(body, (state, obs, carry), jnp.arange(n_steps))
+        return state, obs, carry, rs.sum()
+
+    run_jit = jax.jit(run, donate_argnums=(0, 2))
+    state, obs, carry0, total = run_jit(state, obs, carry0, 0)
+    jax.block_until_ready(total)
+    t0 = time.perf_counter()
+    for rep in range(n_reps):
+        state, obs, carry0, total = run_jit(state, obs, carry0, rep + 1)
+    jax.block_until_ready(total)
+    return batch * n_steps * n_reps / (time.perf_counter() - t0)
+
+
 def _metric(name, steps_per_s):
     return {
         "metric": name,
@@ -180,6 +214,10 @@ def main(batch=8192, quick=False, rng_impl=None):
         # 3. L0-L5 controller-in-the-loop dataset generation on the 17-dim task.
         ds = bench_l0l5_dataset(env_mc, batch, n_steps=32, n_reps=3)
         extras.append(_metric(f"ieee33_multicap17_l0l5_dataset_steps_per_s_b{batch}_1chip", ds))
+
+        # 4. MPC-in-the-loop rollout: batched ADMM DC-OPF per lane per step.
+        mpc = bench_mpc_rollout(batch, n_steps=16, n_reps=3)
+        extras.append(_metric(f"anm6easy_mpc_rollout_steps_per_s_b{batch}_1chip", mpc))
 
     headline["extra_metrics"] = extras
     print(json.dumps(headline))

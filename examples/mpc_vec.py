@@ -49,4 +49,9 @@ def run(batch=16, steps=96, horizons=(2, 4, 8, 16), seed=0):
 
 
 if __name__ == "__main__":
+    # --cpu: force the CPU backend BEFORE first jax use (the JAX_PLATFORMS
+    # env var is ignored once the axon TPU plugin is installed; see
+    # CLAUDE.md environment traps).
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     run()
