@@ -29,7 +29,12 @@ from gym_anm_tpu.vec import (  # noqa: E402
 )
 
 
-def run(batch=16, steps=96, horizons=(2, 4, 8, 16), seed=0):
+def run(batch=16, steps=96, horizons=(2, 4, 8), seed=0):
+    # Horizons up to N=8: the float32 ADMM tier is validated there.  At
+    # N=16 the f32 iterate drifts slightly INFEASIBLE (objective ~3e-3
+    # below the LP optimum at 40k iterations; flagged feasible=False and
+    # replaced by the idle fallback) — use dtype=float64 off-TPU for
+    # longer horizons (f64 converges in ~2.5k iterations there).
     env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
     key = jax.random.PRNGKey(seed)
 

@@ -88,12 +88,16 @@ class VecDCOPF(NamedTuple):
     eps_rel: float
     n: int
     m: int
-    # Plateau exit (see solve_dcopf): accept a stalled dual residual after
-    # this many non-improving iterations, but only within the cap (relative
-    # to d_ref) — a lane still orders of magnitude above optimality must
-    # never be declared converged by the stall rule.
+    # Plateau exit (see solve_dcopf): accept after this many iterations in
+    # which NEITHER residual improved, provided the primal meets its
+    # STRICT tolerance and the dual is within its reference scale
+    # (dual_plateau_cap × d_ref) — a lane still orders of magnitude above
+    # scale must never be declared converged by the stall rule.
+    # feas_band_factor bounds the primal band of DCOPFSolution.feasible,
+    # the "usable dispatch" gate.
     dual_stall_limit: int = 100
-    dual_plateau_cap: float = 1e-2
+    dual_plateau_cap: float = 1.0
+    feas_band_factor: float = 10.0
 
 
 class DCOPFSolution(NamedTuple):
@@ -102,7 +106,14 @@ class DCOPFSolution(NamedTuple):
     iterations: jax.Array  # int32
     r_prim: jax.Array     # unscaled ∞-norm primal residual
     r_dual: jax.Array     # unscaled ∞-norm dual residual
-    converged: jax.Array  # bool
+    converged: jax.Array  # bool — optimality confirmed (strict or plateau)
+    # bool — the iterate is a usable dispatch: bounds uncrossed and primal
+    # residual within feas_band_factor × its strict tolerance.  On stiff
+    # multi-stage f32 problems the residual MEASUREMENTS floor above the
+    # strict tolerances while the iterate sits at the true optimum, so
+    # feasible (the host tier's res.success semantic) is the right gate
+    # for applying the action; converged is the stronger optimality claim.
+    feasible: jax.Array
 
 
 def _ruiz_equilibrate(A, q, iters=15):
@@ -141,7 +152,8 @@ def make_vec_dcopf(
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
     dual_stall_limit: int = 100,
-    dual_plateau_cap: float = 1e-2,
+    dual_plateau_cap: float = 1.0,
+    feas_band_factor: float = 10.0,
 ) -> VecDCOPF:
     """Prefactorize a :class:`DCOPFStructure` into a device solver spec."""
     n = structure.n_var
@@ -166,6 +178,16 @@ def make_vec_dcopf(
     A_bar = E[:, None] * A * D[None, :]
     q_bar = c_scale * D * structure.c
 
+    # ρ is problem-regime dependent (measured on ANM6Easy, f32, HiGHS
+    # cross-checked): warm-started N=1 rollouts run ~40% fewer iterations
+    # at ρ=0.1 (mean/max 316/660 vs 527/1110 at ρ=1.0, objective gap
+    # 3.5e-4), but the stiffer COLD N=4 problem's primal stalls at ~1e-4
+    # under ρ=0.1 (never converges) while ρ=1.0 finishes in ~4.8k
+    # iterations — so the robust 1.0 stays the default and callers tune
+    # per workload.  OSQP-style per-lane adaptive ρ was considered and
+    # rejected: each lane would select its own KKT inverse, putting a
+    # [B, n, n] gather on the hot path (the architecture invariant the
+    # chord solver is built around — CLAUDE.md).
     # Per-row step size: equality rows (template l == u; the load-pin rows
     # are l == u at runtime too) take the stiff 1e3·ρ, like OSQP.
     is_eq = np.abs(u_tmpl - l_tmpl) < 1e-12
@@ -203,6 +225,7 @@ def make_vec_dcopf(
         m=int(m),
         dual_stall_limit=int(dual_stall_limit),
         dual_plateau_cap=float(dual_plateau_cap),
+        feas_band_factor=float(feas_band_factor),
     )
 
 
@@ -259,7 +282,7 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         return jnp.logical_and(it < spec.max_iter, jnp.logical_not(done))
 
     def body(carry):
-        x, y, z, Ax, it, _, _, best_rd, stall, _ = carry
+        x, y, z, Ax, it, _, _, best_rp, best_rd, stall, _ = carry
         # Shared-matrix matvecs (the MXU work; HIGHEST: convergence-feeding).
         t_z = jnp.dot(spec.rho * z, spec.A_bar, precision=_HIGHEST)   # Āᵀ(ρz)
         t_y = jnp.dot(y, spec.A_bar, precision=_HIGHEST)              # Āᵀy
@@ -285,29 +308,54 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
             jnp.max(jnp.abs(spec.E_inv * Ax_new)), jnp.max(jnp.abs(spec.E_inv * z_new))
         )
         d_ref = jnp.maximum(jnp.max(jnp.abs(spec.D_inv * t_y)) / spec.c_scale, q_ref)
-        # Exit rule: primal within tolerance AND (dual within tolerance OR
-        # dual plateaued).  In float32 the dual residual MEASUREMENT —
-        # cancellation inside q + Aᵀy — floors around 1e-3·‖q‖∞ while the
-        # iterates themselves keep matching the f64/HiGHS solution, so a
-        # strict dual test would burn max_iter for nothing.  Same
-        # best-so-far plateau-acceptance design as the chord load-flow
-        # solver (physics/power_flow.py).
-        improved = r_dual < best_rd * (1.0 - 1e-3)
+        # Exit rule, same best-so-far plateau-acceptance design as the
+        # chord load-flow solver (physics/power_flow.py): STRICT exit when
+        # both residuals meet their tolerances, PLATEAU exit when neither
+        # residual has improved for dual_stall_limit iterations AND the
+        # iterate is inside the acceptance bands.  In float32 both
+        # residual MEASUREMENTS floor well above the strict tolerances on
+        # stiff multi-stage problems — the N=8 ANM6Easy LP floors at
+        # r_prim ~1e-4 / r_dual ~6 while the iterate sits AT the HiGHS
+        # objective (gap ≤ 2e-4; f64 confirms true convergence at
+        # r_dual ~1e-3) — so the bands are: primal within
+        # prim_plateau_factor × its strict tolerance (feasibility is
+        # non-negotiable), dual within its reference SCALE
+        # (dual_plateau_cap·d_ref: catches iterates still orders of
+        # magnitude from optimality without demanding an unmeasurable
+        # tolerance).
+        improved = jnp.logical_or(
+            r_dual < best_rd * (1.0 - 1e-3),
+            r_prim < best_rp * (1.0 - 1e-3),
+        )
+        best_rp_new = jnp.minimum(best_rp, r_prim)
         best_rd_new = jnp.minimum(best_rd, r_dual)
         stall_new = jnp.where(improved, 0, stall + 1).astype(jnp.int32)
-        prim_ok = r_prim <= spec.eps_abs + spec.eps_rel * p_ref
-        # Plateau acceptance is CAPPED: the f32 measurement floor sits near
-        # 1e-3·‖q‖∞ ≤ dual_plateau_cap·d_ref, but a genuinely slow dual
-        # (ill-conditioned instance) above the cap keeps iterating instead
-        # of being declared converged.
-        dual_ok = jnp.logical_or(
+        tol_p = spec.eps_abs + spec.eps_rel * p_ref
+        strict = jnp.logical_and(
+            r_prim <= tol_p,
             r_dual <= spec.eps_abs + spec.eps_rel * d_ref,
-            jnp.logical_and(stall_new >= spec.dual_stall_limit,
+        )
+        # Plateau: STRICT primal (primal polish is what sets action
+        # quality — the degenerate DES coordinates drift inside a looser
+        # band) + dual within its reference scale.  This is the rule the
+        # parity tolerances were measured under, plus the scale cap: a
+        # dual still orders of magnitude above d_ref (gross suboptimality)
+        # is never accepted, while a dual that merely floors high in f32
+        # (N=4 floors at ~8e-2·d_ref with the iterate at the HiGHS
+        # optimum) is.  Stiff multi-stage f32 problems whose PRIMAL
+        # measurement also floors (N=8: r_prim ~1e-4 with the iterate AT
+        # the HiGHS objective; f64 confirms true convergence at r_dual
+        # ~1e-3) exit at max_iter with converged=False but feasible=True —
+        # callers gate on DCOPFSolution.feasible for "is this a usable
+        # dispatch", the host tier's res.success semantic.
+        plateau = jnp.logical_and(
+            stall_new >= spec.dual_stall_limit,
+            jnp.logical_and(r_prim <= tol_p,
                             r_dual <= spec.dual_plateau_cap * d_ref),
         )
-        done = jnp.logical_and(prim_ok, dual_ok)
+        done = jnp.logical_or(strict, plateau)
         return (x_new, y_new, z_new, Ax_new, it + 1, r_prim, r_dual,
-                best_rd_new, stall_new, done)
+                best_rp_new, best_rd_new, stall_new, done)
 
     dt = spec.l_tmpl.dtype
     inf = jnp.asarray(jnp.inf, dt)
@@ -319,9 +367,18 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
     # (agents/mpc.py).  Under vmap this also keeps one bad lane from
     # dragging the batch through max_iter.
     bounds_ok = jnp.all(l <= u)
-    carry0 = (x, y, z, Ax, jnp.int32(0), inf, inf, inf, jnp.int32(0),
+    carry0 = (x, y, z, Ax, jnp.int32(0), inf, inf, inf, inf, jnp.int32(0),
               jnp.logical_not(bounds_ok))
-    x, y, z, Ax, it, r_prim, r_dual, _, _, done = jax.lax.while_loop(cond, body, carry0)
+    x, y, z, Ax, it, r_prim, r_dual, _, _, _, done = jax.lax.while_loop(cond, body, carry0)
+    # Usable-dispatch gate: primal within feas_band_factor × its strict
+    # tolerance (p_ref recomputed from the exit iterate).
+    p_ref_exit = jnp.maximum(
+        jnp.max(jnp.abs(spec.E_inv * Ax)), jnp.max(jnp.abs(spec.E_inv * z))
+    )
+    feasible = jnp.logical_and(
+        bounds_ok,
+        r_prim <= spec.feas_band_factor * (spec.eps_abs + spec.eps_rel * p_ref_exit),
+    )
     return DCOPFSolution(
         x=spec.D * x,
         warm=(x, y, z, Ax),
@@ -329,6 +386,7 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         r_prim=r_prim,
         r_dual=r_dual,
         converged=jnp.logical_and(done, bounds_ok),
+        feasible=feasible,
     )
 
 
@@ -399,10 +457,14 @@ def make_vec_mpc(
             P_load, P_pot = forecast_fn(state)
         l, u = lane_bounds(dc, P_load, P_pot, state.soc)
         sol = solve_dcopf(dc, l, u, warm=carry)
-        # Idle fallback on non-converged/infeasible lanes — the vec
+        # Idle fallback on lanes WITHOUT a usable dispatch — the vec
         # analogue of the host tier's res.success zero-action branch
-        # (agents/mpc.py); an unconverged iterate is not a dispatch.
-        P = jnp.where(sol.converged, sol.x[dc.act_idx], 0.0) * dc.baseMVA
+        # (agents/mpc.py).  Gated on feasibility, not optimality: on stiff
+        # multi-stage f32 problems the residual measurements floor above
+        # the strict tolerances while the iterate sits at the HiGHS
+        # objective (solve_dcopf exit-rule comment), and the host tier
+        # likewise only falls back on LP FAILURE.
+        P = jnp.where(sol.feasible, sol.x[dc.act_idx], 0.0) * dc.baseMVA
         a = jnp.zeros(env.n_action, dtype=env.dtype)
         a = a.at[sl["P_gen"]].set(P[:n_g].astype(env.dtype))
         a = a.at[sl["P_des"]].set(P[n_g:].astype(env.dtype))

@@ -388,17 +388,20 @@ def test_infeasible_lane_skips_loop_and_reports_unconverged(host_problem):
         jnp.stack([l_bad, l]), jnp.stack([u, u])
     )
     assert not bool(sols.converged[0])
+    assert not bool(sols.feasible[0])
     assert int(sols.iterations[0]) == 0
     assert bool(sols.converged[1])
+    assert bool(sols.feasible[1])
     assert int(sols.iterations[1]) < dc.max_iter
 
 
-def test_unconverged_lane_gets_idle_action():
-    """make_vec_mpc applies the idle (zero-dispatch) fallback on lanes the
-    solver did not converge — the host tier's res.success branch
-    (agents/mpc.py: 'Idle fallback')."""
+def test_unusable_lane_gets_idle_action():
+    """make_vec_mpc applies the idle (zero-dispatch) fallback on lanes
+    whose iterate is not a usable dispatch (feasible=False) — the host
+    tier's res.success branch (agents/mpc.py: 'Idle fallback')."""
     env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
-    # max_iter=1 cannot converge a cold solve: every lane falls back.
+    # max_iter=1 leaves a cold solve far outside the primal feasibility
+    # band: every lane falls back.
     ctrl = make_vec_mpc(env, gamma=0.995, planning_steps=1, max_iter=1)
     state, obs = jax.jit(jax.vmap(env.reset))(
         jax.random.split(jax.random.PRNGKey(0), 2)
@@ -435,6 +438,40 @@ def test_vec_mpc_generalizes_to_ieee33_renewable():
     m = evaluate_controller_vec(env, ctrl, jax.random.PRNGKey(0), batch=3, steps=6)
     assert np.isfinite(m)
     assert m > -0.5
+
+
+def test_stiff_multistage_f32_is_feasible_at_optimum(host_problem):
+    """N=8 f32: BOTH residual measurements floor above the strict
+    tolerances (r_prim ~1e-4, r_dual ~0.3·d_ref) while the iterate sits AT
+    the HiGHS objective — the solver must report feasible=True (usable
+    dispatch) even where converged stays False, and the objective must
+    match.  Regression for the horizon sweep collapse (a converged-gated
+    fallback discarded optimal actions and N=8 rollouts scored -1.8/step
+    instead of beating N=1)."""
+    agent, _, _, init_soc = host_problem(8)
+    st = agent.structure
+    from gym_anm_tpu.agents.mpc import MPCAgentPerfect
+    from gym_anm_tpu.compat.anm6_easy import (
+        _get_gen_time_series,
+        _get_load_time_series,
+    )
+    from types import SimpleNamespace
+
+    pa = MPCAgentPerfect.__new__(MPCAgentPerfect)
+    pa.planning_steps, pa.baseMVA = 8, st.baseMVA
+    fake = SimpleNamespace(state=np.array([17.0]),
+                           P_loads=_get_load_time_series(),
+                           P_maxs=_get_gen_time_series())
+    P_load, P_gen = pa.forecast(fake)
+    a_ref, obj_ref = _highs_action(st, P_load, P_gen, init_soc)
+
+    dc = make_vec_dcopf(st, dtype=jnp.float32, max_iter=4000)
+    l, u = lane_bounds(dc, jnp.asarray(P_load), jnp.asarray(P_gen),
+                       jnp.asarray(init_soc))
+    sol = jax.jit(lambda l, u: solve_dcopf(dc, l, u))(l, u)
+    assert bool(sol.feasible)
+    obj = float(st.c @ np.asarray(sol.x, dtype=np.float64))
+    assert abs(obj - obj_ref) <= 1e-3 * max(1.0, abs(obj_ref))
 
 
 def test_cold_warm_tuple_shapes(host_problem):
