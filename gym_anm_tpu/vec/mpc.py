@@ -107,12 +107,21 @@ class DCOPFSolution(NamedTuple):
     r_prim: jax.Array     # unscaled ∞-norm primal residual
     r_dual: jax.Array     # unscaled ∞-norm dual residual
     converged: jax.Array  # bool — optimality confirmed (strict or plateau)
-    # bool — the iterate is a usable dispatch: bounds uncrossed and primal
-    # residual within feas_band_factor × its strict tolerance.  On stiff
-    # multi-stage f32 problems the residual MEASUREMENTS floor above the
-    # strict tolerances while the iterate sits at the true optimum, so
-    # feasible (the host tier's res.success semantic) is the right gate
-    # for applying the action; converged is the stronger optimality claim.
+    # bool — the LP data itself is solvable: no crossed bound row (a
+    # pinned load outside its box, a potential cap below a positive gen
+    # p_min).  This is what makes the host tier's HiGHS call FAIL and take
+    # the idle fallback — the gate make_vec_mpc mirrors.  On an
+    # unsolvable lane the ADMM loop is skipped entirely (0 iterations).
+    bounds_ok: jax.Array
+    # bool — the iterate is additionally inside the primal measurement
+    # band (feas_band_factor × the strict tolerance).  Informative, and a
+    # stricter optional gate: on stiff multi-stage f32 problems the
+    # residual MEASUREMENTS floor above the strict tolerances while the
+    # iterate sits at the true optimum (converged stays False), and on
+    # borderline lanes the band flickers — which is why the controller
+    # does NOT idle on it (a near-feasible near-optimal dispatch beats a
+    # zero dispatch, and the env projects actions onto the device
+    # polytopes anyway).
     feasible: jax.Array
 
 
@@ -386,6 +395,7 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         r_prim=r_prim,
         r_dual=r_dual,
         converged=jnp.logical_and(done, bounds_ok),
+        bounds_ok=bounds_ok,
         feasible=feasible,
     )
 
@@ -457,14 +467,15 @@ def make_vec_mpc(
             P_load, P_pot = forecast_fn(state)
         l, u = lane_bounds(dc, P_load, P_pot, state.soc)
         sol = solve_dcopf(dc, l, u, warm=carry)
-        # Idle fallback on lanes WITHOUT a usable dispatch — the vec
-        # analogue of the host tier's res.success zero-action branch
-        # (agents/mpc.py).  Gated on feasibility, not optimality: on stiff
-        # multi-stage f32 problems the residual measurements floor above
-        # the strict tolerances while the iterate sits at the HiGHS
-        # objective (solve_dcopf exit-rule comment), and the host tier
-        # likewise only falls back on LP FAILURE.
-        P = jnp.where(sol.feasible, sol.x[dc.act_idx], 0.0) * dc.baseMVA
+        # Idle fallback ONLY on structurally unsolvable lanes (crossed
+        # bound rows — exactly what makes the host tier's HiGHS call fail
+        # into its zero-action branch, agents/mpc.py).  NOT gated on
+        # convergence or the residual band: a near-feasible near-optimal
+        # iterate beats a zero dispatch (measured: band-gating idled
+        # borderline N=8 lanes and cost 0.5 reward/step on 30-step
+        # windows), and the env projects actions onto the device polytopes
+        # regardless.
+        P = jnp.where(sol.bounds_ok, sol.x[dc.act_idx], 0.0) * dc.baseMVA
         a = jnp.zeros(env.n_action, dtype=env.dtype)
         a = a.at[sl["P_gen"]].set(P[:n_g].astype(env.dtype))
         a = a.at[sl["P_des"]].set(P[n_g:].astype(env.dtype))

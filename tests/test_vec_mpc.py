@@ -395,13 +395,39 @@ def test_infeasible_lane_skips_loop_and_reports_unconverged(host_problem):
     assert int(sols.iterations[1]) < dc.max_iter
 
 
-def test_unusable_lane_gets_idle_action():
-    """make_vec_mpc applies the idle (zero-dispatch) fallback on lanes
-    whose iterate is not a usable dispatch (feasible=False) — the host
-    tier's res.success branch (agents/mpc.py: 'Idle fallback')."""
+def test_structurally_unsolvable_lane_gets_idle_action():
+    """make_vec_mpc idles ONLY the lanes whose LP data is unsolvable
+    (crossed bound rows — the condition that makes the host tier's HiGHS
+    call fail into its zero-action branch).  A merely unconverged or
+    band-borderline iterate is still applied: a near-optimal dispatch
+    beats a zero dispatch, and the env projects actions anyway."""
     env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
-    # max_iter=1 leaves a cold solve far outside the primal feasibility
-    # band: every lane falls back.
+    ctrl = make_vec_mpc(env, gamma=0.995, planning_steps=1)
+    state, obs = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 2)
+    )
+    # Lane 0: a NEGATIVE renewable potential folds into a gen-cap upper
+    # bound below the box lower bound -> crossed row -> unsolvable.
+    state = state._replace(
+        p_pot=state.p_pot.at[0].set(jnp.full_like(state.p_pot[0], -1.0))
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    carry = jax.vmap(ctrl.init_carry)(keys)
+    a, _ = jax.jit(jax.vmap(ctrl.act))(keys, state, obs, carry)
+    a = np.asarray(a)
+    sl = env._action_slices
+    assert np.all(a[0, sl["P_gen"]] == 0.0)
+    assert np.all(a[0, sl["P_des"]] == 0.0)
+    # The healthy lane dispatches normally (some nonzero P).
+    assert np.any(a[1, sl["P_gen"]] != 0.0)
+
+
+def test_unconverged_iterate_is_still_applied():
+    """max_iter=1 leaves the solve unconverged and outside the residual
+    band, but the action must still be the iterate, not idle — only
+    structural unsolvability idles (see the measured 30-step regression
+    in docs/controllers.md)."""
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
     ctrl = make_vec_mpc(env, gamma=0.995, planning_steps=1, max_iter=1)
     state, obs = jax.jit(jax.vmap(env.reset))(
         jax.random.split(jax.random.PRNGKey(0), 2)
@@ -409,10 +435,8 @@ def test_unusable_lane_gets_idle_action():
     keys = jax.random.split(jax.random.PRNGKey(1), 2)
     carry = jax.vmap(ctrl.init_carry)(keys)
     a, _ = jax.jit(jax.vmap(ctrl.act))(keys, state, obs, carry)
-    a = np.asarray(a)
     sl = env._action_slices
-    assert np.all(a[:, sl["P_gen"]] == 0.0)
-    assert np.all(a[:, sl["P_des"]] == 0.0)
+    assert np.any(np.asarray(a)[:, sl["P_gen"]] != 0.0)
 
 
 def test_profile_forecast_rejects_period_mismatch():
