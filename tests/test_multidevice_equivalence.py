@@ -123,3 +123,49 @@ def test_cql_update_equivalent_across_meshes():
             leaf1, flat8[path], rtol=1e-3, atol=2e-5,
             err_msg=f"param {jax.tree_util.keystr(path)}",
         )
+
+
+def _run_mpc_rollout(mesh, B=16, steps=4):
+    """MPC-in-the-loop farm rollout with lanes sharded over the mesh.
+
+    The ADMM's matrices (A_bar, M_inv, ...) are trace-time constants —
+    replicated — so the per-lane solve shards trivially along the lane
+    axis; a wrong spec would desync the warm-start carry and change the
+    trajectory numbers."""
+    from gym_anm_tpu.vec import make_anm6easy_task, make_vec_mpc
+
+    env_sh = NamedSharding(mesh, P("env"))
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc(env, gamma=0.995, safety_margin=0.96, planning_steps=1)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    carry = jax.vmap(ctrl.init_carry)(keys)
+    state, obs, carry, keys = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, env_sh), (state, obs, carry, keys)
+    )
+
+    @jax.jit
+    def roll(state, obs, carry, keys):
+        def body(sc, t):
+            st, obs, carry = sc
+            k = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, t))
+            a, carry = jax.vmap(ctrl.act)(k, st, obs, carry)
+            st, obs, r, d, _ = env.step_autoreset_batch(st, a)
+            return (st, obs, carry), (a, r)
+
+        (state, obs, carry), (acts, rs) = jax.lax.scan(
+            body, (state, obs, carry), jnp.arange(steps)
+        )
+        return acts, rs
+
+    acts, rs = roll(state, obs, carry, keys)
+    return jax.device_get(acts), jax.device_get(rs)
+
+
+def test_mpc_rollout_equivalent_across_meshes():
+    mesh1, mesh8 = _meshes()
+    acts1, rs1 = _run_mpc_rollout(mesh1)
+    acts8, rs8 = _run_mpc_rollout(mesh8)
+    np.testing.assert_allclose(acts1, acts8, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(rs1, rs8, rtol=2e-4, atol=1e-5)
