@@ -93,8 +93,8 @@ class VecDCOPF(NamedTuple):
     # STRICT tolerance and the dual is within its reference scale
     # (dual_plateau_cap × d_ref) — a lane still orders of magnitude above
     # scale must never be declared converged by the stall rule.
-    # feas_band_factor bounds the primal band of DCOPFSolution.feasible,
-    # the "usable dispatch" gate.
+    # feas_band_factor bounds the primal band of DCOPFSolution.feasible
+    # (informative; the controller's idle gate is bounds_ok).
     dual_stall_limit: int = 100
     dual_plateau_cap: float = 1.0
     feas_band_factor: float = 10.0
@@ -321,17 +321,7 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         # chord load-flow solver (physics/power_flow.py): STRICT exit when
         # both residuals meet their tolerances, PLATEAU exit when neither
         # residual has improved for dual_stall_limit iterations AND the
-        # iterate is inside the acceptance bands.  In float32 both
-        # residual MEASUREMENTS floor well above the strict tolerances on
-        # stiff multi-stage problems — the N=8 ANM6Easy LP floors at
-        # r_prim ~1e-4 / r_dual ~6 while the iterate sits AT the HiGHS
-        # objective (gap ≤ 2e-4; f64 confirms true convergence at
-        # r_dual ~1e-3) — so the bands are: primal within
-        # prim_plateau_factor × its strict tolerance (feasibility is
-        # non-negotiable), dual within its reference SCALE
-        # (dual_plateau_cap·d_ref: catches iterates still orders of
-        # magnitude from optimality without demanding an unmeasurable
-        # tolerance).
+        # iterate is inside the acceptance bands (detailed below).
         improved = jnp.logical_or(
             r_dual < best_rd * (1.0 - 1e-3),
             r_prim < best_rp * (1.0 - 1e-3),
@@ -354,9 +344,9 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         # optimum) is.  Stiff multi-stage f32 problems whose PRIMAL
         # measurement also floors (N=8: r_prim ~1e-4 with the iterate AT
         # the HiGHS objective; f64 confirms true convergence at r_dual
-        # ~1e-3) exit at max_iter with converged=False but feasible=True —
-        # callers gate on DCOPFSolution.feasible for "is this a usable
-        # dispatch", the host tier's res.success semantic.
+        # ~1e-3) exit at max_iter with converged=False — still a usable
+        # dispatch, which is why the controller idles only on bounds_ok
+        # (the host tier's HiGHS-failure semantic), not on this flag.
         plateau = jnp.logical_and(
             stall_new >= spec.dual_stall_limit,
             jnp.logical_and(r_prim <= tol_p,
