@@ -118,17 +118,28 @@ def main():
     # --- deterministic diurnal next_vars: same time_factor load shape and
     # task carry, noise fixed at 1.0 — solve difficulty comparable to the
     # full task, so the delta vs "plain step" isolates the per-lane
-    # jax.random.normal draw (threefry bits + erf_inv).
-    def det_diurnal_vars(key, s_t, hour, t):
-        hour = (hour + task.delta_t / 3600.0) % 24.0
-        time_factor = 0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)
-        loads = (-nominal * time_factor).astype(s_t.dtype)
-        tail = jnp.zeros(n_vars - spec.n_load, dtype=s_t.dtype)
-        return jnp.concatenate([loads, tail]), hour
+    # jax.random.normal draw (threefry bits + erf_inv).  Multicap-family
+    # only: it mirrors that family's hour-of-day task carry (the base
+    # ieee33 task has no carry and no diurnal process).
+    if which == "multicap":
+        def det_diurnal_vars(key, s_t, hour, t):
+            hour = (hour + task.delta_t / 3600.0) % 24.0
+            time_factor = 0.8 + 0.3 * jnp.sin((hour - 3.0) * jnp.pi / 12.0)
+            loads = (-nominal * time_factor).astype(s_t.dtype)
+            tail = jnp.zeros(n_vars - spec.n_load, dtype=s_t.dtype)
+            return jnp.concatenate([loads, tail]), hour
 
-    task6 = dataclasses.replace(task, next_vars_fn=det_diurnal_vars)
-    env6 = VecEnv(task6, dtype=jnp.float32)
-    results["diurnal, no noise RNG"] = time_scan(env6, batch, autoreset=False)
+        task6 = dataclasses.replace(task, next_vars_fn=det_diurnal_vars)
+        env6 = VecEnv(task6, dtype=jnp.float32)
+        results["diurnal, no noise RNG"] = time_scan(env6, batch, autoreset=False)
+
+    # --- no obs assembly: the per-step observation (state-vector pack or
+    # obs-plan gathers + unit scaling) replaced by zeros — isolates the
+    # obs-extraction share of the non-solve floor.
+    env7 = VecEnv(task, dtype=jnp.float32)
+    zeros_obs = jnp.zeros(env7.n_obs, jnp.float32)
+    env7._obs_from_out = lambda out, soc_pu, aux: zeros_obs
+    results["no obs assembly"] = time_scan(env7, batch, autoreset=False)
 
     base = results.get("plain step (no autoreset)", results["full (bench workload)"])
     print(f"\n=== {which} B={batch} ===")
