@@ -77,7 +77,13 @@ def make_ieee33_task():
     [Q_cap8, Q_cap25, tap]."""
     spec = load_network(ieee33_network)
     K = 0
-    s0 = jnp.asarray(_ieee33_quirk_s0(spec, K))
+    # Kept as NUMPY: the reset path does `init_state_fn(...).astype(dtype)`
+    # host-side on a numpy return, so the s0 table enters the trace as a
+    # constant of the env dtype.  A jnp.asarray here would pin an f64
+    # constant (global x64) that XLA hoists — unfolded — into the
+    # while-loop carry of any scan-embedded step program
+    # (tests/test_no_f64_hotpath.py::test_scan_embedded_step_is_f64_free).
+    s0 = _ieee33_quirk_s0(spec, K)
     n_vars = spec.n_load + spec.n_gen + K
 
     def init_state_fn(key, carry):
@@ -261,8 +267,13 @@ def make_anm6easy_task():
 
     spec = load_network(anm6_network)
     K = 1
-    P_loads = jnp.asarray(_get_load_time_series())  # [3, 96]
-    P_maxs = jnp.asarray(_get_gen_time_series())    # [2, 96]
+    # Host-side numpy: the tables must materialize as constants of the
+    # TRACE dtype.  A jnp.asarray here would pin them as f64 constants
+    # under the global x64 flag, and XLA then keeps the f64 tables +
+    # runtime f64→f32 converts alive inside the autoreset while-body
+    # carry (seen in the bench MPC scan HLO) instead of folding the cast.
+    P_loads = np.asarray(_get_load_time_series())  # [3, 96]
+    P_maxs = np.asarray(_get_gen_time_series())    # [2, 96]
     n_steps_day = 96
     n_dev, n_des, n_gen = spec.n_dev, spec.n_des, spec.n_gen
 
@@ -280,10 +291,10 @@ def make_anm6easy_task():
         t0 = jax.random.randint(k_t, (), 0, n_steps_day)
         s = jnp.zeros(2 * n_dev + n_des + n_gen + K, f32)
         # loads at devices 1,3,5; gens at 2,4; DES at 6 (ANM6 layout)
-        loads = P_loads.astype(f32)[:, t0]
+        loads = jnp.asarray(P_loads, f32)[:, t0]
         s = s.at[jnp.array([1, 3, 5])].set(loads)
         s = s.at[jnp.array([1 + n_dev, 3 + n_dev, 5 + n_dev])].set(loads * 0.2)
-        gens = P_maxs.astype(f32)[:, t0]
+        gens = jnp.asarray(P_maxs, f32)[:, t0]
         s = s.at[jnp.array([2, 4])].set(gens)
         q = q_min_gen + jax.random.uniform(k_q, (n_gen,), f32) * (q_max_gen - q_min_gen)
         s = s.at[jnp.array([2 + n_dev, 4 + n_dev])].set(q)
@@ -295,12 +306,12 @@ def make_anm6easy_task():
 
     def next_vars_fn(key, s_t, carry, t):
         aux = jnp.mod(s_t[-1] + 1, n_steps_day).astype(jnp.int32)
-        # Gather from tables cast to the state dtype: the casts of these
-        # trace-time constants constant-fold, keeping batched f64 gathers
-        # (emulated on TPU) out of the hot step (see the renewable family's
-        # noise draw for the same x64 trap).
-        loads_t = P_loads.astype(s_t.dtype)
-        maxs_t = P_maxs.astype(s_t.dtype)
+        # Materialize the numpy tables AT the state dtype: the constants
+        # enter the program already f32 on the f32 tier, so no f64 tables
+        # or batched f64 gathers (emulated on TPU) reach the hot step (see
+        # the renewable family's noise draw for the same x64 trap).
+        loads_t = jnp.asarray(P_loads, s_t.dtype)
+        maxs_t = jnp.asarray(P_maxs, s_t.dtype)
         vars = jnp.concatenate(
             [loads_t[:, aux], maxs_t[:, aux], aux[None].astype(s_t.dtype)]
         )

@@ -68,6 +68,37 @@ def test_controller_suite_is_f64_free():
 
 
 @pytest.mark.parametrize("name", list(TASKS))
+def test_scan_embedded_step_is_f64_free(name):
+    """The bench/rollout embedding: step_autoreset_batch under lax.scan.
+
+    A standalone step program can hide an f64 constant — XLA folds the
+    f64→f32 convert of a trace-time table at compile — but under scan the
+    same table is HOISTED into the while-loop carry in its original f64
+    form with an in-loop convert (caught live: the ANM6 profile tables as
+    f64[3,96]/f64[2,96] loop state in the MPC bench scan).  Guard the
+    embedded form too."""
+    env = VecEnv(TASKS[name](), dtype=jnp.float32)
+    B = 8
+    keys = farm_keys(0, B)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    lo, hi = env.action_low, env.action_high
+
+    def run(state, obs, seed):
+        def body(sc, t):
+            st, obs = sc
+            k = jax.random.fold_in(jax.random.PRNGKey(seed, impl="threefry2x32"), t)
+            a = lo + jax.random.uniform(k, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+            st, obs, r, d, _ = env.step_autoreset_batch(st, a)
+            return (st, obs), r.sum()
+
+        (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(3))
+        return rs.sum()
+
+    hlo = jax.jit(run).lower(state, obs, 0).compile().as_text()
+    assert not _f64_ops(hlo), f"{name} scan-step leaks f64 ops: {_f64_ops(hlo)[:10]}"
+
+
+@pytest.mark.parametrize("name", list(TASKS))
 def test_f32_hot_paths_are_f64_free(name):
     env = VecEnv(TASKS[name](), dtype=jnp.float32)
     keys = farm_keys(0, 8)
