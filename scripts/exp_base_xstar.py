@@ -1,0 +1,114 @@
+"""A/B the base-IEEE33 chord linearization point (flat start vs mid-action).
+
+The renewable family linearizes its shared chord Jacobian at the solved
+0.8x-nominal-load state and saves iterations across the whole family
+(vec/tasks._nominal_x_star).  The BASE task still uses the flat start —
+but its bench regime is uniform-random actions, i.e. the two capacitor
+banks inject ~q_max/2 on average, which moves the typical solved state
+away from flat.  This script measures (CPU; iteration counts are
+hardware-independent):
+
+  * warm-started per-step iteration counts (worst lane + mean) over the
+    bench action distribution, for a sweep of cap-injection fractions;
+  * cold-solve acceptance at B=8192 for the candidate (the cliff guard).
+
+Run:  python scripts/exp_base_xstar.py
+"""
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from gym_anm_tpu.networks import ieee33_network
+from gym_anm_tpu.physics.power_flow import chord_solve, numpy_nr_solve
+from gym_anm_tpu.specs.network import load_network
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+
+def base_x_star(cap_frac):
+    """Solved f64 state of the base task at zero loads, caps injecting
+    cap_frac * q_max, nominal tap (numpy mirror of tasks._nominal_x_star)."""
+    spec = load_network(ieee33_network)
+    N = spec.n_bus
+    series = 1.0 / (spec.br_r + 1j * spec.br_x)
+    tap = spec.br_tap0 * np.exp(1j * spec.br_shift)
+    sh = 1j * spec.br_b / 2.0
+    Y = np.zeros((N, N), complex)
+    for k in range(spec.n_branch):
+        fb, tb = int(spec.br_f[k]), int(spec.br_t[k])
+        Y[fb, tb] += -series[k] / np.conj(tap[k])
+        Y[tb, fb] += -series[k] / tap[k]
+        Y[fb, fb] += (series[k] + sh[k]) / np.abs(tap[k]) ** 2
+        Y[tb, tb] += series[k] + sh[k]
+    p_bus = np.zeros(N)
+    q_bus = np.zeros(N)
+    for d in spec.cap_pos:
+        q_bus[int(spec.dev_bus[d])] += cap_frac * spec.q_max[d]
+    return numpy_nr_solve(Y, p_bus[1:], q_bus[1:])
+
+
+def warm_rollout_iters(task, name, B=2048, steps=40, seeds=(0, 1, 2)):
+    env = VecEnv(task, dtype=jnp.float32)
+    lo, hi = env.action_low, env.action_high
+    step = jax.jit(lambda st, a: jax.vmap(env.step)(st, a))
+    worst, mean, diffs = [], [], []
+    for seed in seeds:
+        keys = jax.random.split(jax.random.PRNGKey(seed), B)
+        state, obs = jax.jit(jax.vmap(env.reset))(keys)
+        for t in range(steps):
+            k = jax.random.fold_in(jax.random.PRNGKey(1000 + seed), t)
+            a = lo + jax.random.uniform(k, (B, env.n_action), dtype=env.dtype) * (hi - lo)
+            state, obs, r, d, info = step(state, a)
+            worst.append(int(jnp.max(info["n_iter"])))
+            mean.append(float(jnp.mean(info["n_iter"])))
+            diffs.append(float(jnp.max(info["diff"])))
+    print(f"{name}: worst-lane iters mean {np.mean(worst):.2f} "
+          f"(p95 {np.percentile(worst, 95):.1f}, max {max(worst)}), "
+          f"lane-mean {np.mean(mean):.2f}, worst diff {max(diffs):.2e}")
+
+
+def cold_acceptance(task, B=8192, seeds=(0, 1, 2, 3, 4)):
+    env32 = VecEnv(task, dtype=jnp.float32)
+    tb = env32.tables
+    n = tb.n_bus - 1
+
+    def lane(p, q, a):
+        inv_da = 1.0 / a - 1.0 / tb.chord_a0
+        dtf_re = -(tb.chord_y_re) * inv_da
+        dtf_im = -(tb.chord_y_im) * inv_da
+        return chord_solve(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+
+    solve = jax.jit(jax.vmap(lane))
+    total_unacc = 0
+    iters = []
+    for seed in seeds:
+        key = jax.random.PRNGKey(seed)
+        qc = jax.random.uniform(key, (B, 2), jnp.float32)
+        taps = jax.random.uniform(jax.random.fold_in(key, 1), (B,), jnp.float32, 0.9, 1.1)
+        q_ns = jnp.zeros((B, n), jnp.float32).at[:, 7].set(qc[:, 0]).at[:, 24].set(qc[:, 1])
+        p_ns = jnp.zeros((B, n), jnp.float32)
+        x, F, diff, it, acc = solve(p_ns, q_ns, taps)
+        total_unacc += int(jnp.sum(~acc))
+        iters.append(int(jnp.max(it)))
+    print(f"  cold acceptance: {total_unacc} unaccepted / {B * len(seeds)} lanes, "
+          f"worst-lane cold iters {iters}")
+
+
+if __name__ == "__main__":
+    base = make_ieee33_task()
+    warm_rollout_iters(base, "flat start (current)")
+    cold_acceptance(base)
+    for frac in (0.25, 0.5, 0.75):
+        x_star = base_x_star(frac)
+        task = dataclasses.replace(base, chord_x_star=x_star)
+        warm_rollout_iters(task, f"x_star at cap_frac={frac}")
+        cold_acceptance(task)
