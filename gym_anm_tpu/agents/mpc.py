@@ -322,7 +322,9 @@ class MPCAgent:
         o0 = self._stage_offsets(0)
         self.last_solution = {
             "x": x,
-            "theta": [x[self._stage_offsets(s)["theta"] : self._stage_offsets(s)["theta"] + self.n_bus] for s in range(N)],
+            "theta": [
+                x[self._stage_offsets(s)["theta"] : self._stage_offsets(s)["theta"] + self.n_bus] for s in range(N)
+            ],
             "P_dev": [x[self._stage_offsets(s)["P"] : self._stage_offsets(s)["P"] + self.n_dev] for s in range(N)],
             "soc": [x[self._stage_offsets(s)["soc"] : self._stage_offsets(s)["soc"] + self.n_des] for s in range(N)],
         }

@@ -714,7 +714,8 @@ def load_network(network) -> NetworkSpec:
     oltcs = np.where(dev_type == DEV_TYPE_OLTC)[0]
     rers = np.where(dev_type == DEV_TYPE_RENEWABLE_GEN)[0]
     slack_dev_pos = int(np.where(dev_type == DEV_TYPE_SLACK)[0][0])
-    genload = np.where(np.isin(dev_type, (DEV_TYPE_LOAD, DEV_TYPE_SLACK, DEV_TYPE_CLASSICAL_GEN, DEV_TYPE_RENEWABLE_GEN)))[0]
+    genload_types = (DEV_TYPE_LOAD, DEV_TYPE_SLACK, DEV_TYPE_CLASSICAL_GEN, DEV_TYPE_RENEWABLE_GEN)
+    genload = np.where(np.isin(dev_type, genload_types))[0]
 
     # --- OLTC bindings ---
     oltc_t_bus, oltc_branch = [], []

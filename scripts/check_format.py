@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Dependency-free formatting gate for CI (scripts + package + tests).
+
+The reference's CI ran ``black --check`` (its ci_checks.yml); this repo's
+round-3 equivalent ran black with ``|| true``, which can never fail.  black
+is not available in every environment this repo targets, so the gate is a
+small self-contained checker enforcing the invariants the tree actually
+maintains — and it FAILS the build when they break:
+
+  * lines <= 120 characters (URLs in comments/docstrings exempt),
+  * no tab characters, no trailing whitespace, LF endings,
+  * files end with exactly one newline,
+  * every .py file parses (ast.parse).
+
+Run:  python scripts/check_format.py        (exit 0 = clean, 1 = violations)
+"""
+
+import ast
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+TARGETS = ["gym_anm_tpu", "tests", "scripts", "examples", "bench.py", "__graft_entry__.py"]
+MAX_LEN = 120
+
+
+def check_file(path: pathlib.Path) -> list[str]:
+    problems = []
+    raw = path.read_bytes()
+    if b"\r" in raw:
+        problems.append("CR line endings")
+    if raw and not raw.endswith(b"\n"):
+        problems.append("missing final newline")
+    if raw.endswith(b"\n\n"):
+        problems.append("trailing blank line(s) at EOF")
+    text = raw.decode("utf-8")
+    try:
+        ast.parse(text, filename=str(path))
+    except SyntaxError as e:
+        problems.append(f"syntax error: {e}")
+    for i, line in enumerate(text.split("\n"), 1):
+        if "\t" in line:
+            problems.append(f"line {i}: tab character")
+        if line != line.rstrip():
+            problems.append(f"line {i}: trailing whitespace")
+        if len(line) > MAX_LEN and "://" not in line:
+            problems.append(f"line {i}: {len(line)} > {MAX_LEN} chars")
+    return problems
+
+
+def main() -> int:
+    bad = 0
+    for target in TARGETS:
+        p = ROOT / target
+        files = sorted(p.rglob("*.py")) if p.is_dir() else [p]
+        for f in files:
+            problems = check_file(f)
+            if problems:
+                bad += 1
+                rel = f.relative_to(ROOT)
+                for msg in problems[:20]:
+                    print(f"{rel}: {msg}")
+    if bad:
+        print(f"\n{bad} file(s) with formatting violations")
+        return 1
+    print("format check: clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

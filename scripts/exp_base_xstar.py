@@ -3,10 +3,12 @@
 The renewable family linearizes its shared chord Jacobian at the solved
 0.8x-nominal-load state and saves iterations across the whole family
 (vec/tasks._nominal_x_star).  The BASE task still uses the flat start —
-but its bench regime is uniform-random actions, i.e. the two capacitor
-banks inject ~q_max/2 on average, which moves the typical solved state
-away from flat.  This script measures (CPU; iteration counts are
-hardware-independent):
+and its bench regime is uniform-random cap actions spanning the SYMMETRIC
+range [-1, 1] MW, so the mean injection is zero and the flat start sits at
+the center of the action distribution.  This script tests whether an
+off-center linearization could still help the TAILS of that distribution
+(it does not — flat start wins; docs/performance.md).  It measures (CPU;
+iteration counts are hardware-independent):
 
   * warm-started per-step iteration counts (worst lane + mean) over the
     bench action distribution, for a sweep of cap-injection fractions;
@@ -77,6 +79,12 @@ def warm_rollout_iters(task, name, B=2048, steps=40, seeds=(0, 1, 2)):
 
 
 def cold_acceptance(task, B=8192, seeds=(0, 1, 2, 3, 4)):
+    # Deliberate ~10x OVERDRIVE stress test, not the bench distribution:
+    # q is drawn one-sided in [0, 1) p.u. at the cap buses, vs the caps'
+    # actual q_max of 0.1 p.u. (action range +/-1 MW at baseMVA=10).  A
+    # candidate that keeps 100% acceptance here has margin; one that fails
+    # here may still be fine at real action amplitudes — re-probe at
+    # q in [-0.1, 0.1] p.u. before rejecting it on this evidence alone.
     env32 = VecEnv(task, dtype=jnp.float32)
     tb = env32.tables
     n = tb.n_bus - 1
