@@ -1,0 +1,261 @@
+"""Probe the vec-ADMM's f32 conditioning limits and exit-rule cost (CPU).
+
+Two documented weaknesses of :mod:`gym_anm_tpu.vec.mpc` (round-3 VERDICT):
+
+  1. **N=16 f32 infeasibility cliff** — the cold N=16 ANM6Easy DC-OPF
+     drifts slightly infeasible in float32 (objective ~3e-3 BELOW the LP
+     optimum at 40k iterations) while float64 converges in ~2.5k.
+  2. **Warm N=1 iteration floor** — per-step warm solves run 100-1,100
+     iterations.  The plateau exit requires ``dual_stall_limit`` (100)
+     consecutive non-improving iterations, so if the STRICT exit cannot
+     fire (the f32 dual-residual measurement floors above its tolerance),
+     every warm solve pays >= 100 iterations by construction.
+
+This script reproduces both against HiGHS ground truth and A/Bs candidate
+fixes:  KKT iterative refinement (store M, one correction per iteration),
+sigma / rho_eq sweeps, and exit-rule variants.  Results feed
+docs/performance.md (negative results included).
+
+Run:  python scripts/exp_admm_conditioning.py [--quick]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from scipy.optimize import linprog  # noqa: E402
+
+from gym_anm_tpu.agents.mpc import MPCAgent  # noqa: E402
+from gym_anm_tpu.env.simulator import Simulator  # noqa: E402
+from gym_anm_tpu.vec import VecEnv, make_anm6easy_task  # noqa: E402
+from gym_anm_tpu.vec.mpc import (  # noqa: E402
+    lane_bounds,
+    make_vec_dcopf,
+    profile_forecast_fn,
+    solve_dcopf,
+)
+
+
+def build(env, N, dtype, **kw):
+    sim = Simulator(env.task.network, env.task.delta_t, env.task.lamb)
+    agent = MPCAgent(sim, action_space=None, gamma=0.995, safety_margin=0.96,
+                     planning_steps=N)
+    spec = make_vec_dcopf(agent.structure, dtype=dtype, **kw)
+    return agent, spec
+
+
+def lane_state(env, seed=0):
+    key = jax.random.PRNGKey(seed)
+    state, _ = env.reset(key)
+    load_pos = np.asarray(env.spec.load_pos)
+    return state, load_pos
+
+
+def highs_solve(st, l_np, u_np, bound0):
+    """Ground-truth LP solve of the same lane problem (f64 HiGHS)."""
+    n_eq = st.A_eq.shape[0]
+    n_ub = 0 if st.A_ub is None else st.A_ub.shape[0]
+    b_eq = l_np[:n_eq]
+    lb = l_np[bound0:]
+    ub = u_np[bound0:]
+    res = linprog(st.c, A_ub=st.A_ub, b_ub=None if st.A_ub is None else u_np[n_eq:bound0],
+                  A_eq=st.A_eq, b_eq=b_eq, bounds=np.stack([lb, ub], axis=1),
+                  method="highs")
+    assert res.success, res.message
+    return res
+
+
+def violation(st, x, l_np, u_np, bound0):
+    n_eq = st.A_eq.shape[0]
+    Ax = [st.A_eq @ x]
+    if st.A_ub is not None:
+        Ax.append(st.A_ub @ x)
+    Ax.append(x)
+    Ax = np.concatenate(Ax)
+    return float(np.max(np.maximum(Ax - u_np, l_np - Ax)))
+
+
+def solve_and_report(tag, spec, l, u, st, l64, u64, bound0, ref_obj, warm=None):
+    sol = solve_dcopf(spec, l, u, warm=warm)
+    x = np.asarray(sol.x, dtype=np.float64)
+    obj = float(st.c @ x)
+    vio = violation(st, x, l64, u64, bound0)
+    print(f"  {tag:>42}: it={int(sol.iterations):6d} conv={bool(sol.converged)!s:>5} "
+          f"feas={bool(sol.feasible)!s:>5} obj-gap={obj - ref_obj:+.2e} "
+          f"vio={vio:.2e} r_p={float(sol.r_prim):.1e} r_d={float(sol.r_dual):.1e}")
+    return sol
+
+
+def n16_cliff(quick=False):
+    print("== Part 1: cold N=16 f32 cliff (ANM6Easy, perfect forecast) ==")
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    state, load_pos = lane_state(env)
+    for N in ([16] if quick else [8, 16]):
+        agent, _ = build(env, N, jnp.float32)
+        st = agent.structure
+        fc = profile_forecast_fn(env, N)
+        P_load, P_pot = fc(state)
+        n_eq = st.A_eq.shape[0]
+        n_ub = 0 if st.A_ub is None else st.A_ub.shape[0]
+        bound0 = n_eq + n_ub
+
+        spec64 = make_vec_dcopf(st, dtype=jnp.float64, max_iter=40000)
+        l64j, u64j = lane_bounds(spec64, np.asarray(P_load, np.float64),
+                                 np.asarray(P_pot, np.float64),
+                                 np.asarray(state.soc, np.float64))
+        l64 = np.asarray(l64j, np.float64)
+        u64 = np.asarray(u64j, np.float64)
+        res = highs_solve(st, l64, u64, bound0)
+        print(f"N={N}: n={st.n_var} m={bound0 + st.n_var}  HiGHS obj={res.fun:.6f}")
+
+        solve_and_report("f64 baseline", spec64, l64j, u64j, st, l64, u64, bound0, res.fun)
+        configs = [
+            ("f32 current", dict()),
+            ("f32 sigma=1e-4", dict(sigma=1e-4)),
+            ("f32 rho_eq=1e2 (spread/10)", dict()),  # patched below
+        ]
+        for tag, kw in configs:
+            if "spread" in tag:
+                spec = make_vec_dcopf(st, dtype=jnp.float32, max_iter=40000, **kw)
+                rho_v = np.asarray(spec.rho, np.float64)
+                rho_v = np.where(rho_v > 1.5, 1e2, rho_v)
+                A_bar = np.asarray(spec.A_bar, np.float64)
+                M = spec.sigma * np.eye(spec.n) + A_bar.T @ (rho_v[:, None] * A_bar)
+                spec = spec._replace(rho=jnp.asarray(rho_v, jnp.float32),
+                                     inv_rho=jnp.asarray(1.0 / rho_v, jnp.float32),
+                                     M_inv=jnp.asarray(np.linalg.inv(M), jnp.float32))
+            else:
+                spec = make_vec_dcopf(st, dtype=jnp.float32, max_iter=40000, **kw)
+            l, u = lane_bounds(spec, P_load, P_pot, state.soc)
+            solve_and_report(tag, spec, l, u, st, l64, u64, bound0, res.fun)
+
+
+def warm_n1(quick=False):
+    print("\n== Part 2: warm N=1 iteration anatomy (ANM6Easy rollout) ==")
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    from gym_anm_tpu.vec.mpc import make_vec_mpc
+
+    steps = 24 if quick else 96
+    ctrl = make_vec_mpc(env, gamma=0.995, safety_margin=0.96, planning_steps=1)
+    agent, spec = build(env, 1, jnp.float32)
+    st = agent.structure
+    n_eq = st.A_eq.shape[0]
+    bound0 = n_eq + (0 if st.A_ub is None else st.A_ub.shape[0])
+    load_pos = np.asarray(env.spec.load_pos)
+
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    carry = ctrl.init_carry(key)
+    iters, exits = [], {"strict": 0, "plateau_or_max": 0}
+    for t in range(steps):
+        P_load = state.dev_p[load_pos]
+        l, u = lane_bounds(spec, P_load, state.p_pot, state.soc)
+        sol = solve_dcopf(spec, l, u, warm=carry)
+        iters.append(int(sol.iterations))
+        # strict fires before the stall counter reaches the limit
+        exits["strict" if int(sol.iterations) < 100 else "plateau_or_max"] += 1
+        a, carry = ctrl.act(key, state, obs, carry)
+        state, obs, r, d, info = env.step(state, a)
+    iters = np.array(iters)
+    print(f"  warm iters over {steps} steps: mean {iters.mean():.0f} "
+          f"p50 {np.percentile(iters, 50):.0f} p95 {np.percentile(iters, 95):.0f} "
+          f"max {iters.max()}  exits<100 (strict): {exits['strict']}/{steps}")
+
+
+def respread(st, dtype, rho, eq_factor, max_iter=40000, **kw):
+    """A spec with equality-row rho = eq_factor * rho (default build is 1e3)."""
+    spec = make_vec_dcopf(st, dtype=dtype, rho=rho, max_iter=max_iter, **kw)
+    rho_v = np.asarray(spec.rho, np.float64)
+    rho_v = np.where(rho_v > 1.5 * rho, eq_factor * rho, rho_v)
+    A_bar = np.asarray(spec.A_bar, np.float64)
+    M = spec.sigma * np.eye(spec.n) + A_bar.T @ (rho_v[:, None] * A_bar)
+    return spec._replace(rho=jnp.asarray(rho_v, dtype),
+                         inv_rho=jnp.asarray(1.0 / rho_v, dtype),
+                         M_inv=jnp.asarray(np.linalg.inv(M), dtype))
+
+
+def sweep(quick=False):
+    print("\n== Part 3: (rho, eq_factor) sweep — cold horizons + warm N=1 ==")
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    state, load_pos = lane_state(env)
+    grid_rho = [1.0, 0.3, 0.1]
+    grid_eq = [1e3, 1e2, 3e1, 1e1]
+    horizons = [1, 4, 16] if quick else [1, 4, 8, 16]
+
+    for N in horizons:
+        agent, _ = build(env, N, jnp.float32)
+        st = agent.structure
+        fc = profile_forecast_fn(env, N)
+        P_load, P_pot = fc(state)
+        n_eq = st.A_eq.shape[0]
+        bound0 = n_eq + (0 if st.A_ub is None else st.A_ub.shape[0])
+        spec64 = make_vec_dcopf(st, dtype=jnp.float64)
+        l64j, u64j = lane_bounds(spec64, np.asarray(P_load, np.float64),
+                                 np.asarray(P_pot, np.float64),
+                                 np.asarray(state.soc, np.float64))
+        l64 = np.asarray(l64j, np.float64)
+        u64 = np.asarray(u64j, np.float64)
+        res = highs_solve(st, l64, u64, bound0)
+        print(f"-- cold N={N} (HiGHS obj {res.fun:.6f})")
+        for rho in grid_rho:
+            for eq in grid_eq:
+                spec = respread(st, jnp.float32, rho, eq)
+                l, u = lane_bounds(spec, P_load, P_pot, state.soc)
+                solve_and_report(f"rho={rho} eq={eq:g}", spec, l, u, st,
+                                 l64, u64, bound0, res.fun)
+
+    print("-- warm N=1 rollout (96 steps), per config")
+    agent, _ = build(env, 1, jnp.float32)
+    st = agent.structure
+    for rho in grid_rho:
+        for eq in grid_eq:
+            spec = respread(st, jnp.float32, rho, eq)
+            m = warm_rollout(env, spec, load_pos, steps=24 if quick else 96)
+            print(f"  rho={rho} eq={eq:g}: mean {m[0]:.0f} p50 {m[1]:.0f} "
+                  f"p95 {m[2]:.0f} max {m[3]} strict-exits {m[4]}")
+
+
+def warm_rollout(env, spec, load_pos, steps=96, seed=0):
+    from gym_anm_tpu.vec.mpc import init_warm
+
+    key = jax.random.PRNGKey(seed)
+    state, obs = env.reset(key)
+    carry = init_warm(spec)
+    n_g = 2  # ANM6: 2 non-slack gens
+    sl = env._action_slices
+    iters = []
+    strict = 0
+    for t in range(steps):
+        P_load = state.dev_p[load_pos]
+        l, u = lane_bounds(spec, P_load, state.p_pot, state.soc)
+        sol = solve_dcopf(spec, l, u, warm=carry)
+        iters.append(int(sol.iterations))
+        if int(sol.iterations) < spec.dual_stall_limit:
+            strict += 1
+        carry = sol.warm
+        P = np.where(bool(sol.bounds_ok), np.asarray(sol.x)[spec.act_idx], 0.0) * spec.baseMVA
+        a = jnp.zeros(env.n_action, dtype=env.dtype)
+        a = a.at[sl["P_gen"]].set(jnp.asarray(P[:n_g], env.dtype))
+        a = a.at[sl["P_des"]].set(jnp.asarray(P[n_g:], env.dtype))
+        a = a.at[sl["tap"]].set(1.0)
+        a = jnp.clip(a, env.action_low, env.action_high)
+        state, obs, r, d, info = env.step(state, a)
+    iters = np.array(iters)
+    return (iters.mean(), np.percentile(iters, 50), np.percentile(iters, 95),
+            iters.max(), strict)
+
+
+if __name__ == "__main__":
+    quick = "--quick" in sys.argv
+    if "--sweep-only" not in sys.argv:
+        n16_cliff(quick)
+        warm_n1(quick)
+    sweep(quick)

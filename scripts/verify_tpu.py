@@ -76,6 +76,50 @@ def vec_probes():
     return ok
 
 
+def acceptance_probe():
+    """On-TPU chord acceptance must be TOTAL under the bench action
+    distribution (random caps, random taps, B=8192).  The CPU test
+    (tests/test_chord_solver.py::test_chord_acceptance_rate_is_total)
+    cannot see a TPU-only regression — e.g. a precision change that
+    lands differently on the MXU — and one unaccepted lane drags the
+    whole batch through the exact-NR fallback (~4x slower, CLAUDE.md
+    "acceptance cliff").  This probe fails verification instead of
+    letting that surface as a silent bench slowdown."""
+    from gym_anm_tpu.physics.power_flow import chord_solve
+    from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+
+    env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+    tb = env32.tables
+    n = tb.n_bus - 1
+    B = 8192
+
+    def lane(p, q, a):
+        inv_da = 1.0 / a - 1.0 / tb.chord_a0
+        dtf_re = -(tb.chord_y_re) * inv_da
+        dtf_im = -(tb.chord_y_im) * inv_da
+        return chord_solve(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+
+    solve = jax.jit(jax.vmap(lane))
+    ok = True
+    t0 = time.time()
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        qc = jax.random.uniform(key, (B, 2), jnp.float32)
+        taps = jax.random.uniform(jax.random.fold_in(key, 1), (B,), jnp.float32, 0.9, 1.1)
+        q_ns = jnp.zeros((B, n), jnp.float32).at[:, 7].set(qc[:, 0]).at[:, 24].set(qc[:, 1])
+        p_ns = jnp.zeros((B, n), jnp.float32)
+        x, F, diff, it, acc = solve(p_ns, q_ns, taps)
+        n_unacc = int(jnp.sum(~acc))
+        ok &= check(
+            f"ieee33 chord acceptance (seed {seed})",
+            n_unacc == 0 and float(jnp.max(diff)) <= 1e-4,
+            f"unaccepted={n_unacc}/{B} max-diff={float(jnp.max(diff)):.2e} "
+            f"backend={jax.default_backend()}",
+        )
+    print(f"ACCEPTANCE_WALL_SECONDS {time.time()-t0:.1f}")
+    return ok
+
+
 def mpc_probe():
     """On-device MPC rollout health: every lane solvable (bounds_ok),
     reward at the informed-controller level, all values finite."""
@@ -121,6 +165,7 @@ def compat_smoke():
 
 if __name__ == "__main__":
     ok = vec_probes()
+    ok = acceptance_probe() and ok
     ok = mpc_probe() and ok
     if "--skip-compat" not in sys.argv:
         ok = compat_smoke() and ok
