@@ -1,0 +1,166 @@
+"""Browser-in-the-loop E2E for the dashboard (reference parity:
+rendering/py/rendering.py:12-165 driving rendering/js/devices.js in a
+real browser).
+
+Loads the generated page in a headless browser against LIVE HTTP+WS
+servers, steps a real ANM6Easy env, and asserts the DOM shows the right
+element counts and per-step updated values — the dashboard JS actually
+EXECUTES.
+
+This image has no browser or JS runtime (no chromium/chrome/firefox
+binary, no node/bun/deno, no playwright/selenium package), so the test
+auto-skips here; it runs the moment the environment gains either
+``playwright`` (+ its chromium) or ``selenium`` + a Chrome/Chromium
+binary — no code change needed.  The in-image substitute gates (JS lexer,
+DOM-id, message-schema, call-graph checks) live in
+tests/test_rendering_client_js.py.
+"""
+
+import json
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+
+def _playwright_chromium():
+    try:
+        from playwright.sync_api import sync_playwright
+    except ImportError:
+        return None
+    return sync_playwright
+
+
+def _selenium_chrome():
+    try:
+        from selenium import webdriver
+    except ImportError:
+        return None
+    binary = next(
+        (
+            shutil.which(b)
+            for b in ("chromium", "chromium-browser", "google-chrome", "chrome")
+            if shutil.which(b)
+        ),
+        None,
+    )
+    if binary is None:
+        return None
+    return webdriver, binary
+
+
+_PW = _playwright_chromium()
+_SE = _selenium_chrome()
+
+pytestmark = pytest.mark.skipif(
+    _PW is None and _SE is None,
+    reason="no browser available (playwright or selenium+chrome required); "
+    "static JS gates cover this image — see test_rendering_client_js.py",
+)
+
+_PROBE = """
+JSON.stringify({
+  title: document.getElementById('title').textContent,
+  buses: document.querySelectorAll('#net circle.bus').length,
+  branches: document.querySelectorAll('#net line.branch').length,
+  cards: document.querySelectorAll('#devpanel .card').length,
+  gauges: document.querySelectorAll('#devpanel .track .fill').length,
+  clock: document.getElementById('clock').textContent,
+  eloss: document.getElementById('eloss').textContent,
+  vlabels: Array.from(document.querySelectorAll('#net text.lbl'))
+    .map(e => e.textContent).filter(t => /^[01]\\./.test(t)),
+  collapsed: getComputedStyle(document.getElementById('collapsed')).display,
+})
+"""
+
+
+class _Page:
+    """Tiny driver facade over whichever backend is available."""
+
+    def __init__(self):
+        self._ctx = None
+
+    def __enter__(self):
+        if _PW is not None:
+            self._pw = _PW().__enter__()
+            self._browser = self._pw.chromium.launch()
+            self._page = self._browser.new_page()
+        else:
+            webdriver, binary = _SE
+            opts = webdriver.ChromeOptions()
+            opts.binary_location = binary
+            opts.add_argument("--headless=new")
+            opts.add_argument("--no-sandbox")
+            self._driver = webdriver.Chrome(options=opts)
+        return self
+
+    def __exit__(self, *exc):
+        if _PW is not None:
+            self._browser.close()
+            self._pw.__exit__(*exc)
+        else:
+            self._driver.quit()
+
+    def goto(self, url):
+        if _PW is not None:
+            self._page.goto(url)
+        else:
+            self._driver.get(url)
+
+    def eval(self, js):
+        if _PW is not None:
+            return self._page.evaluate(js)
+        return self._driver.execute_script("return " + js)
+
+    def probe(self, timeout=10.0):
+        deadline = time.time() + timeout
+        while True:
+            out = json.loads(self.eval(_PROBE))
+            if out["buses"] or time.time() > deadline:
+                return out
+            time.sleep(0.25)
+
+
+def test_dashboard_e2e_anm6easy():
+    import gym_anm_tpu
+    import gym_anm_tpu.render.rendering as rmod
+
+    env = gym_anm_tpu.ANM6Easy()
+    env.reset(seed=0)
+    orig = rmod.webbrowser.open
+    rmod.webbrowser.open = lambda *a, **k: None
+    try:
+        env.render()
+        with _Page() as page:
+            page.goto(env.http_server.address)
+            out = page.probe()
+            # Topology: 6 buses, 7 branch lines (ANM6), 7 device cards,
+            # each card with >= 2 gauge fills (P + Q).
+            assert out["buses"] == 6, out
+            assert out["branches"] == 7, out
+            assert out["cards"] == 7, out
+            assert out["gauges"] >= 14, out
+            assert "ANM6Easy" in out["title"] or "gym-anm-tpu" in out["title"]
+            assert out["collapsed"] == "none", out
+
+            # One env step must update the clock, reward, and voltage text.
+            before = page.probe()
+            env.step(env.action_space.sample() * 0)
+            env.render()
+            deadline = time.time() + 10.0
+            while time.time() < deadline:
+                after = page.probe()
+                if after["clock"] != before["clock"]:
+                    break
+                time.sleep(0.25)
+            assert after["clock"] != before["clock"], (before, after)
+            assert after["eloss"].startswith("E-loss: ")
+            assert float(after["eloss"].split(": ")[1]) >= 0.0
+            # 6 live voltage labels, all finite and near 1 p.u.
+            volts = [float(v) for v in after["vlabels"]]
+            assert len(volts) == 6, after
+            assert all(np.isfinite(volts)) and all(0.5 < v < 1.5 for v in volts)
+    finally:
+        rmod.webbrowser.open = orig
+        env.close()

@@ -1,0 +1,237 @@
+"""Static integrity gates for the dashboard page's JavaScript.
+
+This image ships NO JavaScript runtime (no browser, node, bun, or
+embeddable JS engine), so the page cannot be *executed* in CI here —
+tests/test_rendering_browser.py does that and auto-skips.  These gates
+close the "a typo in the generated page would ship green" hole that a
+WS-protocol-level test leaves open, without an engine:
+
+1. a real lexer pass over the script (comments/strings/template literals
+   tracked) that rejects unterminated strings and bracket MIS-NESTING,
+   not just unequal counts;
+2. every ``document.getElementById("...")`` target must exist as an
+   ``id="..."`` in the page HTML;
+3. every property the script reads off the init/update messages
+   (``s.X`` / ``spec.X`` / ``m.X``) must be a key actually present in the
+   messages :mod:`gym_anm_tpu.render.rendering` publishes — schema drift
+   between the Python producers and the JS consumer fails here;
+4. every free function called in the script must be defined in it (or be
+   a browser builtin) — a misspelled call site fails here.
+"""
+
+import json
+import re
+
+import pytest
+
+from gym_anm_tpu.render.client import render_page
+
+BUILTINS = {
+    # browser / ES globals the page may legitimately call as free functions
+    "setTimeout", "setInterval", "clearTimeout", "parseFloat", "parseInt",
+    "requestAnimationFrame", "fetch", "alert", "String", "Number",
+    "Boolean", "Array", "Object", "WebSocket", "Math", "JSON", "Date",
+    "Map", "Set", "RegExp", "Error", "isFinite", "isNaN",
+}
+KEYWORDS = {
+    "if", "for", "while", "switch", "catch", "function", "return",
+    "typeof", "new", "in", "of", "else", "do", "try", "throw", "delete",
+    "void", "instanceof", "yield", "await", "case",
+}
+
+
+@pytest.fixture(scope="module")
+def page():
+    return render_page("ws://test-address").decode()
+
+
+@pytest.fixture(scope="module")
+def script(page):
+    assert page.count("<script>") == 1
+    return page.split("<script>")[1].split("</script>")[0]
+
+
+def lex_js(src):
+    """Strip comments and string/template contents; return (code, ok, err).
+
+    ``code`` has string/template contents replaced by spaces (quotes kept)
+    so downstream regexes never match inside literals.  Flags unterminated
+    strings/comments.  The page contains no regex literals (checked), so
+    ``/`` is always division or a comment starter.
+    """
+    out = []
+    i, n = 0, len(src)
+    mode = None  # None | "'" | '"' | "`" | "//" | "/*"
+    while i < n:
+        ch = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if mode is None:
+            if ch == "/" and nxt == "/":
+                mode = "//"
+                out.append("  ")
+                i += 2
+                continue
+            if ch == "/" and nxt == "*":
+                mode = "/*"
+                out.append("  ")
+                i += 2
+                continue
+            if ch in "'\"`":
+                mode = ch
+                out.append(ch)
+                i += 1
+                continue
+            out.append(ch)
+            i += 1
+        elif mode == "//":
+            if ch == "\n":
+                mode = None
+                out.append("\n")
+            else:
+                out.append(" ")
+            i += 1
+        elif mode == "/*":
+            if ch == "*" and nxt == "/":
+                mode = None
+                out.append("  ")
+                i += 2
+            else:
+                out.append("\n" if ch == "\n" else " ")
+                i += 1
+        else:  # inside a string / template literal
+            if ch == "\\":
+                out.append("  ")
+                i += 2
+                continue
+            if ch == mode:
+                mode = None
+                out.append(ch)
+                i += 1
+                continue
+            if ch == "\n" and mode in "'\"":
+                return "".join(out), False, f"unterminated {mode} string"
+            out.append("\n" if ch == "\n" else " ")
+            i += 1
+    if mode is not None:
+        return "".join(out), False, f"unterminated {mode}"
+    return "".join(out), True, ""
+
+
+def test_no_regex_literals_assumption(script):
+    # lex_js treats / as division; keep the page that way.
+    code, ok, err = lex_js(script)
+    assert ok, err
+    assert not re.search(r"[=(,:!&|?{;]\s*/[^/*]", code), (
+        "possible regex literal — extend lex_js before using one"
+    )
+
+
+def test_js_lexes_and_brackets_nest(script):
+    code, ok, err = lex_js(script)
+    assert ok, err
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack = []
+    for lineno, line in enumerate(code.split("\n"), 1):
+        for ch in line:
+            if ch in "([{":
+                stack.append((ch, lineno))
+            elif ch in ")]}":
+                assert stack, f"unmatched {ch!r} at line {lineno}"
+                op, opline = stack.pop()
+                assert op == pairs[ch], (
+                    f"mis-nested {op!r} (line {opline}) closed by {ch!r} "
+                    f"(line {lineno})"
+                )
+    assert not stack, f"unclosed {stack[-1][0]!r} at line {stack[-1][1]}"
+
+
+def test_dom_ids_referenced_exist(page, script):
+    code, ok, _ = lex_js(script)
+    assert ok
+    html_ids = set(re.findall(r'id="([^"]+)"', page))
+    # getElementById args live inside string literals, so scan the RAW
+    # script (the lexer blanks them) at positions the lexed code marks as
+    # calls.
+    for m in re.finditer(r'getElementById\(\s*"([^"]+)"\s*\)', script):
+        assert m.group(1) in html_ids, f"getElementById({m.group(1)!r})"
+    assert len(re.findall(r"getElementById\(", script)) == len(
+        re.findall(r'getElementById\(\s*"[^"]+"\s*\)', script)
+    ), "non-literal getElementById argument — extend this test"
+
+
+def _published_messages():
+    """Real init + update messages, captured over a live server pair."""
+    from gym_anm_tpu.render import rendering
+    from gym_anm_tpu.render.ws import WsClient
+
+    orig = rendering.webbrowser.open
+    rendering.webbrowser.open = lambda *a, **k: None
+    http_server = ws_server = None
+    try:
+        http_server, ws_server = rendering.start(
+            "schema-check", [0, -1, 1, 2, 3], [100.0] * 5, [100.0] * 5,
+            [30.0, 30.0, None, 25.0], [0.95] * 3, [1.05] * 3, [50.0],
+            (0.0, 100.0),
+            topology={
+                "busIds": [0, 1, 2], "devBus": [0, 1, 1, 2, 2],
+                "branchFrom": [0, 1], "branchTo": [1, 2],
+            },
+            open_browser=False,
+        )
+        client = WsClient(ws_server.address)
+        init = json.loads(client.recv())
+
+        import datetime
+
+        rendering.update(
+            ws_server, datetime.datetime(2020, 1, 1, 11, 55), 0,
+            [0.0] * 5, [0.0] * 5, [1.0, 1.0], [12.0], [55.0, 40.0],
+            [1.0, 1.0, 1.0], (1.0, 2.0), False,
+        )
+        frame = json.loads(client.recv())
+        client.close()
+        return init, frame
+    finally:
+        rendering.webbrowser.open = orig
+        rendering.close(http_server, ws_server)
+
+
+def test_js_message_schema_matches_python_producers(script):
+    """Every init/update field the JS reads must be published by Python."""
+    code, ok, _ = lex_js(script)
+    assert ok
+    init, frame = _published_messages()
+
+    # Receiver variables bound to the messages in the page:
+    #   build(s) / buildDevPanel(s) / spec  <- init
+    #   update(m) / updateDevPanel(m)       <- update
+    init_reads = set(re.findall(r"\b(?:s|spec)\.([A-Za-z_]\w*)", code))
+    update_reads = set(re.findall(r"\bm\.([A-Za-z_]\w*)", code))
+    missing_init = init_reads - set(init)
+    missing_update = update_reads - set(frame)
+    assert not missing_init, f"JS reads init fields Python never sends: {missing_init}"
+    assert not missing_update, (
+        f"JS reads update fields Python never sends: {missing_update}"
+    )
+    # And the drift guard the other way: core payload keys must be consumed
+    # (catches a renamed producer key going silently unread).
+    for key in ("busXY", "branchFrom", "devType", "pMax", "socMax"):
+        assert key in init_reads, f"init key {key!r} no longer consumed by JS"
+    for key in ("vMagn", "sFlows", "pInjections", "socStorage", "reward"):
+        assert key in update_reads, f"update key {key!r} no longer consumed by JS"
+
+
+def test_all_called_functions_are_defined(script):
+    code, ok, _ = lex_js(script)
+    assert ok
+    defined = set(re.findall(r"\bfunction\s+([A-Za-z_]\w*)", code))
+    defined |= set(re.findall(r"\b(?:const|let|var)\s+([A-Za-z_]\w*)\s*=", code))
+    # function parameters can be called too (none currently, but cheap)
+    for params in re.findall(r"\bfunction\s+\w*\s*\(([^)]*)\)", code):
+        defined |= {p.strip() for p in params.split(",") if p.strip()}
+    calls = {
+        m.group(1)
+        for m in re.finditer(r"(?<![.\w])([A-Za-z_]\w*)\s*\(", code)
+    }
+    unknown = calls - defined - BUILTINS - KEYWORDS
+    assert not unknown, f"undefined function(s) called in page JS: {unknown}"
