@@ -63,7 +63,7 @@ class VecDCOPF(NamedTuple):
     A_bar: jax.Array      # [m, n]
     M_inv: jax.Array      # [n, n] = (σI + Āᵀdiag(ρ)Ā)⁻¹
     q_bar: jax.Array      # [n]
-    rho: jax.Array        # [m] per-row step size (equality rows ×1e3)
+    rho: jax.Array        # [m] per-row step size (equality rows ×rho_eq_factor)
     inv_rho: jax.Array    # [m]
     D: jax.Array          # [n] column scaling (x = D·x̄)
     D_inv: jax.Array      # [n]
@@ -98,6 +98,13 @@ class VecDCOPF(NamedTuple):
     dual_stall_limit: int = 100
     dual_plateau_cap: float = 1.0
     feas_band_factor: float = 10.0
+    # Residual/exit evaluation cadence: the convergence check (6 max-
+    # reductions + the stall/strict/plateau select chain) costs ~40% of a
+    # bare ADMM iteration, and solves run 1e2-4e3 iterations — so the
+    # check runs every `check_every` iterations (delaying an exit by at
+    # most check_every-1 cheap iterations).  1 reproduces the
+    # check-every-iteration program exactly.
+    check_every: int = 8
 
 
 class DCOPFSolution(NamedTuple):
@@ -155,6 +162,7 @@ def make_vec_dcopf(
     structure: DCOPFStructure,
     dtype=jnp.float32,
     rho: float = 1.0,
+    rho_eq_factor: float = 1e2,
     sigma: float = 1e-6,
     alpha: float = 1.6,
     max_iter: int = 4000,
@@ -163,6 +171,7 @@ def make_vec_dcopf(
     dual_stall_limit: int = 100,
     dual_plateau_cap: float = 1.0,
     feas_band_factor: float = 10.0,
+    check_every: int = 8,
 ) -> VecDCOPF:
     """Prefactorize a :class:`DCOPFStructure` into a device solver spec."""
     n = structure.n_var
@@ -198,9 +207,18 @@ def make_vec_dcopf(
     # [B, n, n] gather on the hot path (the architecture invariant the
     # chord solver is built around — CLAUDE.md).
     # Per-row step size: equality rows (template l == u; the load-pin rows
-    # are l == u at runtime too) take the stiff 1e3·ρ, like OSQP.
+    # are l == u at runtime too) take a stiffer rho_eq_factor·ρ, like
+    # OSQP.  OSQP's own 1e3 was the round-3 default and is the measured
+    # CAUSE of the f32 long-horizon failure: at eq=1e3 the cold N=16
+    # ANM6Easy problem exits max_iter (40k) structurally INFEASIBLE
+    # (objective 2.7e-3 below the LP optimum) and cold N=8 needs 13.6k
+    # iterations, while eq=1e2 converges every documented stress problem
+    # (N=16: 2.6k iters, obj gap -2.4e-5, violation 1.4e-5; N=8: 0.95k)
+    # and cuts warm N=1 rollout iterations — the 1e3 spread inflates
+    # κ(σI+ĀᵀρĀ) past what f32 matvecs can serve.  Sweep evidence:
+    # scripts/exp_admm_conditioning.py, docs/performance.md.
     is_eq = np.abs(u_tmpl - l_tmpl) < 1e-12
-    rho_v = np.where(is_eq, 1e3 * rho, rho)
+    rho_v = np.where(is_eq, rho_eq_factor * rho, rho)
 
     M = sigma * np.eye(n) + A_bar.T @ (rho_v[:, None] * A_bar)
     M_inv = np.linalg.inv(M)
@@ -235,6 +253,7 @@ def make_vec_dcopf(
         dual_stall_limit=int(dual_stall_limit),
         dual_plateau_cap=float(dual_plateau_cap),
         feas_band_factor=float(feas_band_factor),
+        check_every=int(check_every),
     )
 
 
@@ -261,6 +280,63 @@ def lane_bounds(spec: VecDCOPF, P_load, P_pot, init_soc):
     l = l.at[spec.soc_rows].set(init_soc)
     u = u.at[spec.soc_rows].set(init_soc)
     return l, u
+
+
+def make_shift_warm(spec: VecDCOPF, structure: DCOPFStructure, planning_steps: int):
+    """Receding-horizon warm-start shift: ``shift(warm) -> warm``.
+
+    At env time t the N-stage plan's stage k targets t+k; at t+1 the new
+    stage k targets what was stage k+1 — so the previous solution shifted
+    UP one stage block is the aligned initialization (the last stage is
+    duplicated).  Both the variable vector and the constraint rows are
+    stage-blocked contiguously (``MPCAgent._build_structure`` appends
+    per-stage: eq rows = n_bus + 2·n_des per stage, ub rows = 2 per
+    finite-rate branch per stage, identity rows = the variable layout), so
+    the shift is a static gather.  Scaled-space bookkeeping: with
+    x = D·x̄, z̄ = E·z, y = E·ȳ/c the shifted scaled iterates pick up the
+    per-index scale ratios D[src]/D[dst], E[dst]/E[src], E[src]/E[dst]
+    (host-precomputed constants); Āx̄ is recomputed with one matvec.
+
+    For ``planning_steps == 1`` there is nothing to shift — returns
+    identity (the in-place warm start).
+    """
+    if planning_steps == 1:
+        return lambda warm: warm
+    n = structure.n_var
+    stage_n = n // planning_steps
+    n_eq = structure.A_eq.shape[0]
+    n_ub = 0 if structure.A_ub is None else structure.A_ub.shape[0]
+    eq_ps = n_eq // planning_steps
+    ub_ps = n_ub // planning_steps
+    assert stage_n * planning_steps == n and eq_ps * planning_steps == n_eq
+    assert ub_ps * planning_steps == n_ub
+
+    def src_of(count, per_stage):
+        idx = np.arange(count)
+        return np.where(idx < count - per_stage, idx + per_stage, idx)
+
+    var_src = src_of(n, stage_n)
+    row_src = np.concatenate(
+        [src_of(n_eq, eq_ps), n_eq + src_of(n_ub, ub_ps), n_eq + n_ub + var_src]
+    )
+    D = np.asarray(spec.D, np.float64)
+    E = np.asarray(spec.E, np.float64)
+    dt = spec.l_tmpl.dtype
+    x_ratio = jnp.asarray(D[var_src] / D, dtype=dt)
+    z_ratio = jnp.asarray(E / E[row_src], dtype=dt)
+    y_ratio = jnp.asarray(E[row_src] / E, dtype=dt)
+    var_src = jnp.asarray(var_src)
+    row_src = jnp.asarray(row_src)
+
+    def shift(warm):
+        x, y, z, _ = warm
+        x2 = x[var_src] * x_ratio
+        y2 = y[row_src] * y_ratio
+        z2 = z[row_src] * z_ratio
+        Ax2 = jnp.dot(spec.A_bar, x2, precision=_HIGHEST)
+        return (x2, y2, z2, Ax2)
+
+    return shift
 
 
 def init_warm(spec: VecDCOPF):
@@ -290,12 +366,16 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         it, done = carry[4], carry[-1]
         return jnp.logical_and(it < spec.max_iter, jnp.logical_not(done))
 
-    def body(carry):
-        x, y, z, Ax, it, _, _, best_rp, best_rd, stall, _ = carry
-        # Shared-matrix matvecs (the MXU work; HIGHEST: convergence-feeding).
-        t_z = jnp.dot(spec.rho * z, spec.A_bar, precision=_HIGHEST)   # Āᵀ(ρz)
-        t_y = jnp.dot(y, spec.A_bar, precision=_HIGHEST)              # Āᵀy
-        rhs = spec.sigma * x - spec.q_bar + t_z - t_y
+    def sweep(_, s):
+        """One bare ADMM iteration (no residuals): 3 shared-matrix
+        matvecs (the MXU work; HIGHEST: convergence-feeding) + the
+        relax/clip/dual elementwise chain.  The KKT rhs needs only
+        Āᵀ(ρz − y) — one matvec, not the two (Āᵀρz, Āᵀy) the textbook
+        form suggests; Āᵀy alone is needed only by the dual residual,
+        which is evaluated once per check, not per sweep."""
+        x, y, z, Ax = s
+        t = jnp.dot(spec.rho * z - y, spec.A_bar, precision=_HIGHEST)
+        rhs = spec.sigma * x - spec.q_bar + t
         xt = jnp.dot(spec.M_inv, rhs, precision=_HIGHEST)
         zt = jnp.dot(spec.A_bar, xt, precision=_HIGHEST)              # Āx̃
 
@@ -304,13 +384,25 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         z_pre = spec.alpha * zt + (1.0 - spec.alpha) * z + spec.inv_rho * y
         z_new = jnp.clip(z_pre, l_bar, u_bar)
         y_new = spec.rho * (z_pre - z_new)
+        return (x_new, y_new, z_new, Ax_new)
 
-        # Unscaled residuals of the NEW iterate.  The dual residual's
-        # Āᵀy_new matvec is next iteration's t_y — here we estimate it from
-        # the identities y_new = ρ(z_pre − z_new) without an extra matvec:
-        # OSQP's dual residual q + Aᵀy is evaluated one iteration late
-        # (t_y above belongs to the carried y), which only delays the exit
-        # by a single iteration.
+    K = spec.check_every
+
+    def body(carry):
+        x, y, z, Ax, it, _, _, best_rp, best_rd, stall, _ = carry
+        # K bare sweeps per convergence check: the residual reductions +
+        # exit select chain cost ~40% of a sweep, and solves run 1e2-4e3
+        # iterations, so checking every iteration wastes real time.  An
+        # exit is delayed by at most K-1 sweeps.  K=1 is the original
+        # check-every-iteration program (modulo the dual residual now
+        # being CURRENT rather than one iteration late).
+        x_new, y_new, z_new, Ax_new = jax.lax.fori_loop(
+            0, K, sweep, (x, y, z, Ax)
+        )
+
+        # Unscaled residuals of the NEW iterate; Āᵀy_new computed here,
+        # once per check.
+        t_y = jnp.dot(y_new, spec.A_bar, precision=_HIGHEST)
         r_prim = jnp.max(jnp.abs(spec.E_inv * (Ax_new - z_new)))
         r_dual = jnp.max(jnp.abs(spec.D_inv * (spec.q_bar + t_y))) / spec.c_scale
         p_ref = jnp.maximum(
@@ -322,9 +414,12 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         # both residuals meet their tolerances, PLATEAU exit when neither
         # residual has improved for dual_stall_limit iterations AND the
         # iterate is inside the acceptance bands (detailed below).
+        # Improvement threshold scales with the check cadence: over K
+        # sweeps a converging iterate should improve ~K times the
+        # per-iteration factor.
         improved = jnp.logical_or(
-            r_dual < best_rd * (1.0 - 1e-3),
-            r_prim < best_rp * (1.0 - 1e-3),
+            r_dual < best_rd * (1.0 - 1e-3 * K),
+            r_prim < best_rp * (1.0 - 1e-3 * K),
         )
         best_rp_new = jnp.minimum(best_rp, r_prim)
         best_rd_new = jnp.minimum(best_rd, r_dual)
@@ -347,13 +442,16 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         # ~1e-3) exit at max_iter with converged=False — still a usable
         # dispatch, which is why the controller idles only on bounds_ok
         # (the host tier's HiGHS-failure semantic), not on this flag.
+        # dual_stall_limit is specified in ITERATIONS; stall counts
+        # checks, so convert (ceil — never exit earlier than asked).
+        stall_checks = -(-spec.dual_stall_limit // K)
         plateau = jnp.logical_and(
-            stall_new >= spec.dual_stall_limit,
+            stall_new >= stall_checks,
             jnp.logical_and(r_prim <= tol_p,
                             r_dual <= spec.dual_plateau_cap * d_ref),
         )
         done = jnp.logical_or(strict, plateau)
-        return (x_new, y_new, z_new, Ax_new, it + 1, r_prim, r_dual,
+        return (x_new, y_new, z_new, Ax_new, it + K, r_prim, r_dual,
                 best_rp_new, best_rd_new, stall_new, done)
 
     dt = spec.l_tmpl.dtype
@@ -400,11 +498,14 @@ def make_vec_mpc(
     safety_margin: float = 0.9,
     planning_steps: int = 1,
     rho: float = 1.0,
+    rho_eq_factor: float = 1e2,
     max_iter: int = 4000,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
     dual_stall_limit: int = 100,
+    check_every: int = 8,
     forecast_fn=None,
+    receding_warm: Optional[bool] = None,
     name: Optional[str] = None,
 ):
     """An on-device π_MPC-N^constant for a :class:`~gym_anm_tpu.vec.VecEnv`.
@@ -440,12 +541,21 @@ def make_vec_mpc(
     assert np.array_equal([dm[i] for i in agent.des_ids], spec.des_pos)
 
     dc = make_vec_dcopf(
-        agent.structure, dtype=env.dtype, rho=rho, max_iter=max_iter,
-        eps_abs=eps_abs, eps_rel=eps_rel, dual_stall_limit=dual_stall_limit,
+        agent.structure, dtype=env.dtype, rho=rho, rho_eq_factor=rho_eq_factor,
+        max_iter=max_iter, eps_abs=eps_abs, eps_rel=eps_rel,
+        dual_stall_limit=dual_stall_limit, check_every=check_every,
     )
     n_g = len(agent.non_slack_gen_ids)
     load_pos = np.asarray(spec.load_pos)
     sl = env._action_slices
+    # Receding-horizon warm start: shift the previous plan one stage so
+    # stages stay aligned with the times they target.  Defaults on for
+    # N > 1 (measured iteration win on the perfect-forecast rollouts);
+    # identity at N = 1.
+    if receding_warm is None:
+        receding_warm = planning_steps > 1
+    shift = (make_shift_warm(dc, agent.structure, planning_steps)
+             if receding_warm else (lambda w: w))
 
     def init_carry(key):
         return init_warm(dc)
@@ -456,7 +566,7 @@ def make_vec_mpc(
         else:
             P_load, P_pot = forecast_fn(state)
         l, u = lane_bounds(dc, P_load, P_pot, state.soc)
-        sol = solve_dcopf(dc, l, u, warm=carry)
+        sol = solve_dcopf(dc, l, u, warm=shift(carry))
         # Idle fallback ONLY on structurally unsolvable lanes (crossed
         # bound rows — exactly what makes the host tier's HiGHS call fail
         # into its zero-action branch, agents/mpc.py).  NOT gated on

@@ -12,9 +12,18 @@ Two documented weaknesses of :mod:`gym_anm_tpu.vec.mpc` (round-3 VERDICT):
      every warm solve pays >= 100 iterations by construction.
 
 This script reproduces both against HiGHS ground truth and A/Bs candidate
-fixes:  KKT iterative refinement (store M, one correction per iteration),
-sigma / rho_eq sweeps, and exit-rule variants.  Results feed
+fixes:  sigma / rho_eq sweeps and exit-rule variants.  Results feed
 docs/performance.md (negative results included).
+
+OUTCOME (round 4, now the library defaults): the 1e3 equality-row rho
+spread WAS the conditioning failure — ``rho_eq_factor=1e2`` converges
+every stress horizon feasibly in f32 (N=16: 40k-infeasible -> ~2.6k
+iters, obj gap -2.4e-5; cold N=8: 13.6k -> 0.95k) and cuts warm N=1
+rollout iterations mean 538 -> 393.  rho stays 1.0 (0.3/0.1 blow up
+BATCHED — some lane hits max_iter nearly every step).  dual_stall_limit
+30 saves ~7% batched; 20 is worse than 30 (premature exits poison the
+next warm start); default kept at 100.  See docs/performance.md
+"Negative results" and docs/controllers.md "f32 horizon limit — FIXED".
 
 Run:  python scripts/exp_admm_conditioning.py [--quick]
 """
@@ -233,10 +242,14 @@ def warm_rollout(env, spec, load_pos, steps=96, seed=0):
     sl = env._action_slices
     iters = []
     strict = 0
+    # jit once per spec: an unjitted solve_dcopf re-traces (and re-LLVM-
+    # compiles) its while_loop EVERY call — ~100 compiles per rollout leak
+    # until LLVM's JIT allocator fails on this 1-core box.
+    solve = jax.jit(lambda l, u, w: solve_dcopf(spec, l, u, warm=w))
     for t in range(steps):
         P_load = state.dev_p[load_pos]
         l, u = lane_bounds(spec, P_load, state.p_pot, state.soc)
-        sol = solve_dcopf(spec, l, u, warm=carry)
+        sol = solve(l, u, carry)
         iters.append(int(sol.iterations))
         if int(sol.iterations) < spec.dual_stall_limit:
             strict += 1

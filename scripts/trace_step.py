@@ -106,6 +106,11 @@ def summarize(trace_dir, n_steps_total, top=25):
     device_planes = []
     for f in files:
         for plane in parse_xspace(f):
+            # Real accelerator planes only: the '/device:CUSTOM:Megascale
+            # Trace' plane duplicates transfer events already on the TPU
+            # plane.
+            if "CUSTOM" in plane["name"]:
+                continue
             if "TPU" in plane["name"] or "/device:" in plane["name"]:
                 device_planes.append(plane)
     assert device_planes, "no device plane found in trace"
@@ -175,6 +180,12 @@ def main():
     jax.block_until_ready(tot)
 
     trace_dir = f"/tmp/jax-trace-{which}-{batch}"
+    # The path is deterministic: a dump from a previous run would be
+    # summed together with this run's by the recursive glob (observed:
+    # every plane listed twice, all counts doubled).  Start clean.
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
     n_reps = 2
     with jax.profiler.trace(trace_dir):
         for rep in range(n_reps):

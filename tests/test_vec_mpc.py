@@ -504,3 +504,108 @@ def test_cold_warm_tuple_shapes(host_problem):
     x, y, z, Ax = init_warm(dc)
     assert x.shape == (dc.n,) and y.shape == (dc.m,)
     assert z.shape == (dc.m,) and Ax.shape == (dc.m,)
+
+
+def test_n16_f32_converges_feasibly(host_problem):
+    """Cold N=16 f32 — the round-3 capability cliff, now pinned FIXED.
+
+    At the round-3 equality-row rho spread (1e3) this exact problem
+    exited max_iter=40000 structurally INFEASIBLE (objective 2.7e-3
+    below the LP optimum, i.e. constraint violation); the round-4
+    default (rho_eq_factor=1e2) conditioning converges it feasibly in
+    ~3k iterations.  Pins: converged, feasible, objective gap <= 1e-3,
+    and true constraint violation <= 5e-5 measured against the raw
+    f64 problem data (not the solver's own scaled residual)."""
+    agent, _, _, init_soc = host_problem(16)
+    st = agent.structure
+    from types import SimpleNamespace
+
+    from gym_anm_tpu.agents.mpc import MPCAgentPerfect
+    from gym_anm_tpu.compat.anm6_easy import (
+        _get_gen_time_series,
+        _get_load_time_series,
+    )
+
+    pa = MPCAgentPerfect.__new__(MPCAgentPerfect)
+    pa.planning_steps, pa.baseMVA = 16, st.baseMVA
+    fake = SimpleNamespace(state=np.array([17.0]),
+                           P_loads=_get_load_time_series(),
+                           P_maxs=_get_gen_time_series())
+    P_load, P_gen = pa.forecast(fake)
+    a_ref, obj_ref = _highs_action(st, P_load, P_gen, init_soc)
+
+    dc = make_vec_dcopf(st, dtype=jnp.float32, max_iter=40000)
+    l, u = lane_bounds(dc, jnp.asarray(P_load), jnp.asarray(P_gen),
+                       jnp.asarray(init_soc))
+    sol = jax.jit(lambda l, u: solve_dcopf(dc, l, u))(l, u)
+    assert bool(sol.converged), (int(sol.iterations), float(sol.r_prim))
+    assert bool(sol.feasible)
+    x = np.asarray(sol.x, dtype=np.float64)
+    obj = float(st.c @ x)
+    assert abs(obj - obj_ref) <= 1e-3 * max(1.0, abs(obj_ref))
+    # True violation against unscaled f64 data.
+    lb, ub, b_eq = st.lb.copy(), st.ub.copy(), st.b_eq.copy()
+    lb[st.load_pin_idx] = P_load
+    ub[st.load_pin_idx] = P_load
+    ub[st.gen_cap_idx] = np.minimum(st.gen_pmax[:, None], P_gen)
+    b_eq[st.soc_rows] = init_soc
+    vio = max(
+        float(np.max(np.abs(st.A_eq @ x - b_eq))),
+        float(np.max(np.maximum(st.A_ub @ x - st.b_ub, 0.0)))
+        if st.A_ub is not None else 0.0,
+        float(np.max(np.maximum(lb - x, 0.0))),
+        float(np.max(np.maximum(x - ub, 0.0))),
+    )
+    assert vio <= 5e-5, vio
+
+
+def test_shift_warm_is_exact_stage_shift(host_problem):
+    """make_shift_warm permutes the UNSCALED iterates by exactly one
+    stage block (variables and constraint rows), duplicating the last
+    stage — checked algebraically against the scale vectors, and the
+    shifted Ax equals A_bar @ shifted x.  N=1 is the identity."""
+    from gym_anm_tpu.vec.mpc import make_shift_warm
+
+    N = 4
+    agent, *_ = host_problem(N)
+    st = agent.structure
+    dc = make_vec_dcopf(st, dtype=jnp.float64)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(dc.n))
+    y = jnp.asarray(rng.randn(dc.m))
+    z = jnp.asarray(rng.randn(dc.m))
+    Ax = jnp.asarray(rng.randn(dc.m))
+    shift = make_shift_warm(dc, st, N)
+    x2, y2, z2, Ax2 = shift((x, y, z, Ax))
+
+    stage_n = st.n_var // N
+    n_eq = st.A_eq.shape[0]
+    n_ub = 0 if st.A_ub is None else st.A_ub.shape[0]
+    D = np.asarray(dc.D)
+    E = np.asarray(dc.E)
+
+    def src(count, ps):
+        i = np.arange(count)
+        return np.where(i < count - ps, i + ps, i)
+
+    vsrc = src(dc.n, stage_n)
+    rsrc = np.concatenate([src(n_eq, n_eq // N),
+                           n_eq + src(n_ub, n_ub // N),
+                           n_eq + n_ub + vsrc])
+    # Unscaled quantities are exact permutations of the originals.
+    np.testing.assert_allclose(D * np.asarray(x2), (D * np.asarray(x))[vsrc],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(z2) / E, (np.asarray(z) / E)[rsrc],
+                               rtol=1e-12)
+    np.testing.assert_allclose(E * np.asarray(y2), (E * np.asarray(y))[rsrc],
+                               rtol=1e-12)
+    # Ax is recomputed for the shifted x, not permuted.
+    np.testing.assert_allclose(np.asarray(Ax2),
+                               np.asarray(dc.A_bar) @ np.asarray(x2),
+                               atol=1e-12)
+
+    # N=1: identity.
+    agent1, *_ = host_problem(1)
+    dc1 = make_vec_dcopf(agent1.structure, dtype=jnp.float32)
+    w = init_warm(dc1)
+    assert make_shift_warm(dc1, agent1.structure, 1)(w) is w
