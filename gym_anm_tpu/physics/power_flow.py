@@ -397,13 +397,28 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     va, vb = const.vstar_re, const.vstar_im
     vmag = float(np.hypot(va, vb))
     d_i, d_r = w_a, w_b
-    W = jnp.array(
-        [[va * d_i - vb * d_r, (va * d_r + vb * d_i) / vmag],
-         [va * d_r + vb * d_i, (vb * d_r - va * d_i) / vmag]], dtype=dtype)
-    M = jnp.eye(2, dtype=dtype) + C @ W
-    det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
-    Minv = jnp.array([[M[1, 1], -M[0, 1]], [-M[1, 0], M[0, 0]]], dtype=dtype) / det
-    K = W @ Minv
+    # K = W (I + C W)⁻¹ unrolled to SCALAR algebra.  Forming per-lane
+    # [2, 2] tensors here costs real step time under vmap: the [B, 2, 2]
+    # K becomes a bf16 batched-dot operand of the while body, and XLA
+    # inserts three [8192, 2, 2] layout-conversion copies per step
+    # (~22 µs, measured in the round-4 HLO census).  As [B] scalars the
+    # whole correction chain fuses and runs f32 on the VPU (the fixed
+    # point is unchanged — the stopping rule tests the true mismatch).
+    w00 = va * d_i - vb * d_r
+    w01 = (va * d_r + vb * d_i) / vmag
+    w10 = va * d_r + vb * d_i
+    w11 = (vb * d_r - va * d_i) / vmag
+    c00, c01, c10, c11 = C[0, 0], C[0, 1], C[1, 0], C[1, 1]
+    m00 = 1.0 + c00 * w00 + c01 * w10
+    m01 = c00 * w01 + c01 * w11
+    m10 = c10 * w00 + c11 * w10
+    m11 = 1.0 + c10 * w01 + c11 * w11
+    det = m00 * m11 - m01 * m10
+    k00 = (w00 * m11 - w01 * m10) / det
+    k01 = (w01 * m00 - w00 * m01) / det
+    k10 = (w10 * m11 - w11 * m10) / det
+    k11 = (w11 * m00 - w10 * m01) / det
+    g_col0, g_col1 = G[:, 0], G[:, 1]
 
     def mismatch(x):
         theta, vm = x[:n], x[n:]
@@ -452,8 +467,15 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
 
     def body(carry):
         x, F, diff, best, it, stall, g_prev, f_prev, *hist2 = carry
-        # Chord direction f and map value g = x + f.
-        f = -(invJ0 @ F) + G @ (K @ (H @ F))
+        # Chord direction f and map value g = x + f.  The rank-2 Woodbury
+        # correction G·K·(H·F) runs as scalar algebra: u = H·F is a tiny
+        # shared-matrix matvec, K·u two fused multiply-adds, and the G
+        # column combination two broadcasts — no [B, 2, 2] tensors (see
+        # the K construction above).
+        u = H @ F
+        t0 = k00 * u[0] + k01 * u[1]
+        t1 = k10 * u[0] + k11 * u[1]
+        f = -(invJ0 @ F) + (t0 * g_col0 + t1 * g_col1)
         g = x + f
         # Anderson(1) acceleration: extrapolate along the last two
         # chord-map evaluations.  For the linear error model e ← M·e of
