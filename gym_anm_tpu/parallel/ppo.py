@@ -28,6 +28,15 @@ class PPOConfig(NamedTuple):
     vf_coef: float = 0.5
     ent_coef: float = 0.0
     rollout_len: int = 16
+    # Normalize net inputs/outputs with the env's STATIC box bounds: obs
+    # enter the MLPs as (obs − mid)/half and the Gaussian policy lives in
+    # the [−1, 1]^d normalized action box (affinely mapped to the env
+    # bounds).  The grid tasks mix O(50) MW powers with O(1) p.u.
+    # voltages in one obs vector — unnormalized, the tanh layers saturate
+    # on the MW features and the policy is blind to voltage, which is
+    # exactly the signal the informed controllers act on.  Dims with
+    # non-finite bounds pass through unscaled.
+    normalize_io: bool = True
     # Reward scaling applied before the critic (grid penalties are O(1e2);
     # raw-mean reward in metrics is unscaled).
     reward_scale: float = 0.01
@@ -140,6 +149,33 @@ def adam_update(ts: TrainState, grads, lr, b1=0.9, b2=0.999, eps=1e-8):
     return TrainState(params=params, opt_m=m, opt_v=v, step=step)
 
 
+def make_io_norm(env: VecEnv):
+    """Static affine normalizers from the env's box bounds.
+
+    Returns ``(norm_obs, act_mid, act_half)``: ``norm_obs`` maps raw obs
+    to ~[−1, 1]; actions are ``act_mid + a_n · act_half`` for a policy
+    living in the normalized box.  Dims with non-finite or degenerate
+    bounds get identity scaling.
+    """
+
+    def mid_half(lo, hi):
+        lo = jnp.asarray(lo, jnp.float32)
+        hi = jnp.asarray(hi, jnp.float32)
+        fin = jnp.isfinite(lo) & jnp.isfinite(hi) & (hi > lo)
+        mid = jnp.where(fin, (lo + hi) * 0.5, 0.0)
+        half = jnp.where(fin, (hi - lo) * 0.5, 1.0)
+        return mid, half
+
+    obs_mid, obs_half = mid_half(env.obs_low, env.obs_high)
+    act_mid, act_half = mid_half(env.action_low, env.action_high)
+    obs_inv_half = 1.0 / obs_half
+
+    def norm_obs(o):
+        return (o - obs_mid) * obs_inv_half
+
+    return norm_obs, act_mid, act_half
+
+
 def make_train_step(env: VecEnv, cfg: PPOConfig):
     """Build the full jitted PPO training step:
 
@@ -150,6 +186,16 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
     replicated — annotate with NamedShardings at the call site and jit.
     """
     act_low, act_high = env.action_low, env.action_high
+    if cfg.normalize_io:
+        norm_obs, act_mid, act_half = make_io_norm(env)
+        # Policy lives in the normalized action box: clip at ±1 there
+        # (identical to the env-bounds clip after the affine map).
+        act_low = -jnp.ones_like(env.action_low)
+        act_high = jnp.ones_like(env.action_high)
+    else:
+        norm_obs = lambda o: o  # noqa: E731
+        act_mid = jnp.zeros_like(env.action_low)
+        act_half = jnp.ones_like(env.action_low)
     if cfg.rollout_len % cfg.n_minibatches != 0:
         raise ValueError(
             f"rollout_len ({cfg.rollout_len}) must be divisible by "
@@ -167,12 +213,17 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
             st, obs = carry
             keys = jax.vmap(jax.random.split)(st.key)
             k_act, key = keys[:, 0], keys[:, 1]
-            action = jax.vmap(
-                lambda k, o: sample_action(params, k, o, act_low, act_high)
+            # The policy acts in the NORMALIZED spaces; the stored action
+            # is the normalized one (what log_prob is taken of), the env
+            # receives the affinely-mapped original-space action.
+            action_n = jax.vmap(
+                lambda k, o: sample_action(params, k, norm_obs(o), act_low, act_high)
             )(k_act, obs)
+            action = jnp.clip(act_mid + action_n * act_half,
+                              env.action_low, env.action_high)
             st = st._replace(key=key)
             st, obs2, r, d, _ = env.step_autoreset_batch(st, action)
-            return (st, obs2), (obs, action, r.astype(jnp.float32), d.astype(jnp.float32))
+            return (st, obs2), (obs, action_n, r.astype(jnp.float32), d.astype(jnp.float32))
 
         (st, obs), traj = jax.lax.scan(body, (state, obs), jnp.arange(cfg.rollout_len))
         return st, obs, traj
@@ -181,6 +232,7 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
         # 1. On-device rollout (the lane axis shards; the scan is batch-level).
         state2, obs2, traj = rollout(ts.params, state, obs)
         obs_T, act_T, rew_T, done_T = traj  # already [T, B, ...]
+        obs_T = norm_obs(obs_T)  # nets only ever see normalized obs
 
         raw_mean_reward = rew_T.mean()
         rew_T = rew_T * cfg.reward_scale

@@ -6,6 +6,7 @@ from .checkpoint import (
     save_checkpoint,
     vector_to_env_state,
 )
+from .debug import debug_nans, explain_divergence, validate_state
 from .metrics import RolloutMetrics, log_metrics, nan_guard
 from .profiling import Throughput, device_trace, trace_annotation
 
@@ -17,6 +18,9 @@ __all__ = [
     "RolloutMetrics",
     "log_metrics",
     "nan_guard",
+    "debug_nans",
+    "validate_state",
+    "explain_divergence",
     "Throughput",
     "device_trace",
     "trace_annotation",

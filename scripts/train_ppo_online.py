@@ -53,6 +53,13 @@ def main():
                     help="contiguous lane-axis minibatches per epoch")
     ap.add_argument("--cpu", action="store_true",
                     help="8 virtual CPU devices (mechanism check)")
+    ap.add_argument("--eval", action="store_true",
+                    help="after training, evaluate the DETERMINISTIC "
+                         "policy (a = mu) under the offline-eval protocol "
+                         "(fresh lanes, no autoreset, absorb-at-0 after "
+                         "collapse) and print it next to the random "
+                         "baseline — comparable to docs/distributed.md's "
+                         "CQL/informed-controller table")
     args = ap.parse_args()
     if args.lanes_per_device < 1 or args.iters < 1:
         ap.error("--lanes-per-device and --iters must be >= 1")
@@ -105,6 +112,47 @@ def main():
     steps = (args.iters - 1) * B * args.rollout
     print(f"throughput: {steps / dt:,.0f} env-steps/s (train loop, "
           f"{len(devices)} device(s))")
+
+    if args.eval:
+        from gym_anm_tpu.parallel.ppo import make_io_norm, policy_dist
+
+        if cfg.normalize_io:
+            norm_obs, act_mid, act_half = make_io_norm(env)
+        else:
+            norm_obs = lambda o: o  # noqa: E731
+            act_mid = jnp.zeros_like(env.action_low)
+            act_half = jnp.ones_like(env.action_low)
+
+        def ppo_policy(obs):
+            mu, _ = policy_dist(ts.params, norm_obs(obs))
+            if cfg.normalize_io:
+                mu = jnp.clip(mu, -1.0, 1.0)
+            return act_mid + mu * act_half
+
+        def random_policy(obs):
+            k = jax.random.fold_in(jax.random.PRNGKey(9), int(obs.sum() * 0) + 1)
+            u = jax.random.uniform(k, (obs.shape[0], env.n_action), dtype=env.dtype)
+            return env.action_low + u * (env.action_high - env.action_low)
+
+        def evaluate(policy, lanes=256, steps=50):
+            # The offline-eval protocol (scripts/train_cql_offline.py:40):
+            # fresh lanes, NO autoreset — collapsed lanes absorb at 0
+            # after the terminal hit, so crashing scores catastrophically.
+            keys = jax.random.split(jax.random.PRNGKey(100), lanes)
+            state, obs = jax.jit(jax.vmap(env.reset))(keys)
+            step = jax.jit(jax.vmap(env.step))
+            total = 0.0
+            for _ in range(steps):
+                acts = jnp.clip(jnp.asarray(policy(obs)),
+                                env.action_low, env.action_high)
+                state, obs, r, d, _ = step(state, acts.astype(env.dtype))
+                total += float(r.mean())
+            return total / steps
+
+        r_ppo = evaluate(ppo_policy)
+        r_rand = evaluate(random_policy)
+        print(f"eval (deterministic, no-autoreset absorb protocol): "
+              f"PPO {r_ppo:+.4f}  random {r_rand:+.4f}  per step")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,80 @@
+"""utils/debug.py — NaN guard, EnvState invariant audit, divergence triage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_anm_tpu.utils import debug_nans, explain_divergence, validate_state
+from gym_anm_tpu.vec import VecEnv, make_anm6easy_task
+
+
+@pytest.fixture(scope="module")
+def stepped():
+    # ANM6Easy: has storage (non-empty soc for the box check) and an OLTC.
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    acts = jnp.broadcast_to((env.action_low + env.action_high) / 2.0,
+                            (8, env.n_action))
+    state, obs, r, d, info = jax.jit(jax.vmap(env.step))(state, acts)
+    return env, state, d, info
+
+
+def test_debug_nans_raises_at_producer_and_restores():
+    prev = jax.config.jax_debug_nans
+    with pytest.raises(FloatingPointError):
+        with debug_nans():
+            jnp.log(jnp.zeros(3) - 1.0).block_until_ready()
+    assert jax.config.jax_debug_nans == prev
+    # And the same computation is silent outside the guard.
+    assert bool(jnp.all(jnp.isnan(jnp.log(jnp.zeros(3) - 1.0))))
+
+
+def test_validate_state_clean_on_real_rollout(stepped):
+    env, state, d, info = stepped
+    assert validate_state(state, env.spec) == {}
+
+
+def test_validate_state_flags_injected_corruption(stepped):
+    env, state, d, info = stepped
+    bad = state._replace(
+        bus_vm=state.bus_vm.at[3, 5].set(jnp.nan),
+        soc=state.soc.at[6, 0].set(1e6),
+    )
+    report = validate_state(bad, env.spec)
+    assert list(report["bus_vm_nonfinite"]) == [3]
+    assert list(report["soc_outside_box"]) == [6]
+    # NaN voltage also falls outside the plausibility band check's mask
+    # only via the finiteness check; band check uses comparisons (False
+    # for NaN) — exactly one lane each.
+    with pytest.raises(AssertionError):
+        validate_state(bad, env.spec, strict=True)
+
+
+def test_validate_state_exempts_terminated_lanes(stepped):
+    env, state, d, info = stepped
+    bad = state._replace(
+        bus_vm=state.bus_vm.at[2].set(jnp.nan),
+        terminated=state.terminated.at[2].set(True),
+    )
+    assert validate_state(bad, env.spec) == {}
+
+
+def test_explain_divergence_classification():
+    done = np.array([False, True, True, False])
+    info = {"diff": np.array([1e-6, 5.0, 1e-7, 2e-3]),
+            "n_iter": np.array([4, 30, 7, 30])}
+    out = explain_divergence(info, done, xtol=1e-4)
+    assert list(out["collapsed"]) == [1]
+    assert list(out["terminated_converged"]) == [2]
+    assert list(out["unhealthy"]) == [3]
+    assert out["n_iter_max"] == 30
+    assert out["worst_live_diff"] == pytest.approx(2e-3)
+
+
+def test_explain_divergence_on_real_step(stepped):
+    env, state, d, info = stepped
+    out = explain_divergence(info, d, state=state)
+    assert out["unhealthy"].size == 0
+    assert out["state_report"] == {}

@@ -79,9 +79,11 @@ def test_ppo_learns_toy_dispatch(toy_env):
     ts, rewards = _run_training(toy_env, cfg, n_updates=80)
     first, last = rewards[:5].mean(), rewards[-5:].mean()
     # Doing nothing: r ≈ −(curtailment 20 MW·Δt/baseMVA → 0.2) ≈ −0.2.
-    # Full dispatch: r ≈ −losses ≈ −0.001.  Require most of that gap.
-    assert last > first + 0.05, (first, last)
-    assert last > -0.11, (first, last)
+    # Full dispatch: r ≈ −losses ≈ −0.001.  With normalize_io the initial
+    # random policy already lands mid-box (first ≈ −0.04), so assert
+    # multiplicative improvement toward the optimum, not a fixed gap.
+    assert last > first * 0.5, (first, last)
+    assert last > -0.01, (first, last)
 
 
 def test_ppo_minibatching_epochs(toy_env):
@@ -90,7 +92,7 @@ def test_ppo_minibatching_epochs(toy_env):
                     reward_scale=0.1, n_epochs=2, n_minibatches=2)
     ts, rewards = _run_training(toy_env, cfg, n_updates=50)
     assert np.isfinite(rewards).all()
-    assert rewards[-5:].mean() > rewards[:5].mean() + 0.03
+    assert rewards[-5:].mean() > rewards[:5].mean() * 0.5
 
 
 def test_ppo_rejects_indivisible_minibatches(toy_env):
