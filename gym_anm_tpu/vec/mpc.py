@@ -499,7 +499,7 @@ def make_vec_mpc(
     planning_steps: int = 1,
     rho: float = 1.0,
     rho_eq_factor: float = 1e2,
-    max_iter: int = 4000,
+    max_iter: int = 200,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
     dual_stall_limit: int = 100,
@@ -517,6 +517,20 @@ def make_vec_mpc(
     entirely inside the compiled step.  The carry holds the lane's scaled
     ADMM state, so successive env steps warm-start from the previous
     (near-identical) program's solution.
+
+    **Real-time iteration**: the controller default is a BOUNDED per-step
+    budget (``max_iter=200``), not solve-to-convergence.  Because the
+    ADMM state carries across env steps, an un-polished iterate keeps
+    converging over the next steps while the plant acts on the current
+    one — and measured full-day closed-loop reward is FLAT in the budget
+    (ANM6Easy N=1 constant, B=256 × 96 steps: −0.597/−0.598/−0.601/−0.593
+    at max_iter 4000/200/96/48) or strictly BETTER with small budgets
+    (N=8 perfect, B=64: −0.382 at 4000 vs −0.307 at 96 — unbounded
+    per-step polish chases degenerate vertices).  The batched farm pays
+    the worst lane each step, so the budget also caps step time.  Pass a
+    large ``max_iter`` for solve-to-convergence behavior; one-shot LP
+    solves via :func:`solve_dcopf`/:func:`make_vec_dcopf` keep their own
+    4000 default.
 
     ``forecast_fn(state) -> (P_load, P_pot)`` (p.u.; ``[n_load(, N)]`` /
     ``[n_gen_ns(, N)]``) overrides the constant forecast — the hook
