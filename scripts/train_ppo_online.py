@@ -53,6 +53,10 @@ def main():
                     help="contiguous lane-axis minibatches per epoch")
     ap.add_argument("--cpu", action="store_true",
                     help="8 virtual CPU devices (mechanism check)")
+    ap.add_argument("--save", metavar="DIR", default=None,
+                    help="save the final TrainState (params + Adam "
+                         "moments) as an orbax checkpoint under DIR; "
+                         "restore with utils.restore_checkpoint")
     ap.add_argument("--eval", action="store_true",
                     help="after training, evaluate the DETERMINISTIC "
                          "policy (a = mu) under the offline-eval protocol "
@@ -112,6 +116,13 @@ def main():
     steps = (args.iters - 1) * B * args.rollout
     print(f"throughput: {steps / dt:,.0f} env-steps/s (train loop, "
           f"{len(devices)} device(s))")
+
+    if args.save:
+        from gym_anm_tpu.utils import save_checkpoint
+
+        save_checkpoint(os.path.abspath(args.save),
+                        jax.device_get(ts), step=args.iters)
+        print(f"checkpoint saved: {os.path.abspath(args.save)}/step_{args.iters}")
 
     if args.eval:
         from gym_anm_tpu.parallel.ppo import make_io_norm, policy_dist

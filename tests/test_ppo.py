@@ -100,6 +100,30 @@ def test_ppo_rejects_indivisible_minibatches(toy_env):
         make_train_step(toy_env, PPOConfig(rollout_len=8, n_minibatches=3))
 
 
+def test_io_norm_handles_nonfinite_bounds(toy_env):
+    """make_io_norm: finite dims map to ~[-1,1]; non-finite or degenerate
+    dims pass through with identity scaling (no inf/NaN in the nets)."""
+    from types import SimpleNamespace
+
+    from gym_anm_tpu.parallel.ppo import make_io_norm
+
+    fake = SimpleNamespace(
+        obs_low=jnp.array([-10.0, -jnp.inf, 3.0]),
+        obs_high=jnp.array([30.0, jnp.inf, 3.0]),  # dim 2 degenerate
+        action_low=jnp.array([-2.0]),
+        action_high=jnp.array([6.0]),
+    )
+    norm_obs, act_mid, act_half = make_io_norm(fake)
+    o = norm_obs(jnp.array([30.0, 123.0, 3.0]))
+    assert np.allclose(np.asarray(o), [1.0, 123.0, 3.0])
+    assert np.isfinite(np.asarray(o)).all()
+    assert float(act_mid[0]) == 2.0 and float(act_half[0]) == 4.0
+    # Real env bounds produce finite normalizers end-to-end.
+    norm_obs2, am, ah = make_io_norm(toy_env)
+    assert np.isfinite(np.asarray(norm_obs2(toy_env.obs_low))).all()
+    assert np.isfinite(np.asarray(am)).all() and np.isfinite(np.asarray(ah)).all()
+
+
 def test_ppo_reward_scale_is_config(toy_env):
     """mean_reward reports the RAW env reward regardless of reward_scale."""
     cfg_a = PPOConfig(hidden=16, rollout_len=4, reward_scale=1.0)
