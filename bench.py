@@ -190,9 +190,15 @@ def main(batch=8192, quick=False, rng_impl=None):
     _wait_for_backend()
     from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task, make_ieee33_task
 
+    # Scan lengths: 128 steps per dispatch.  The tunneled TPU pays ~10 ms
+    # of dispatch latency PER JIT CALL (measured by fitting t(n) = w + F/n
+    # over n_steps 32/64/128: F ≈ 10.3 ms, w ≈ the in-scan trace wall) —
+    # a harness artifact a local deployment does not pay, so the bench
+    # amortizes it over a longer scan.  lax.scan compiles its body once,
+    # so the longer trip count costs no extra compile time.
     # 1. Headline: base IEEE33, 3-dim action, plain step.
     env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
-    base = bench_random(env, batch, n_steps=64, n_reps=3, autoreset=False,
+    base = bench_random(env, batch, n_steps=128, n_reps=3, autoreset=False,
                         rng_impl=rng_impl)
     headline = _metric(f"ieee33_env_steps_per_s_b{batch}_1chip", base)
 
@@ -201,22 +207,22 @@ def main(batch=8192, quick=False, rng_impl=None):
         # 1b. Base task at B=32768: larger batches amortize the
         # kernel-launch floor (docs/performance.md batch sweep) — the
         # scale-out operating point.
-        big = bench_random(env, 32768, n_steps=64, n_reps=3, autoreset=False,
+        big = bench_random(env, 32768, n_steps=128, n_reps=3, autoreset=False,
                            rng_impl=rng_impl)
         extras.append(_metric("ieee33_env_steps_per_s_b32768_1chip", big))
 
         # 2. Flagship: 17-dim multicap, random actions + autoreset.
         env_mc = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
-        flagship = bench_random(env_mc, batch, n_steps=32, n_reps=3, autoreset=True,
+        flagship = bench_random(env_mc, batch, n_steps=128, n_reps=3, autoreset=True,
                                 rng_impl=rng_impl)
         extras.append(_metric(f"ieee33_multicap17_env_steps_per_s_b{batch}_1chip", flagship))
 
         # 3. L0-L5 controller-in-the-loop dataset generation on the 17-dim task.
-        ds = bench_l0l5_dataset(env_mc, batch, n_steps=32, n_reps=3)
+        ds = bench_l0l5_dataset(env_mc, batch, n_steps=64, n_reps=3)
         extras.append(_metric(f"ieee33_multicap17_l0l5_dataset_steps_per_s_b{batch}_1chip", ds))
 
         # 4. MPC-in-the-loop rollout: batched ADMM DC-OPF per lane per step.
-        mpc = bench_mpc_rollout(batch, n_steps=16, n_reps=3)
+        mpc = bench_mpc_rollout(batch, n_steps=64, n_reps=3)
         extras.append(_metric(f"anm6easy_mpc_rollout_steps_per_s_b{batch}_1chip", mpc))
 
     headline["extra_metrics"] = extras
