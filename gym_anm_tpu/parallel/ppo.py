@@ -37,9 +37,25 @@ class PPOConfig(NamedTuple):
     # exactly the signal the informed controllers act on.  Dims with
     # non-finite bounds pass through unscaled.
     normalize_io: bool = True
+    # Rotating lane refresh: every train step, lanes with
+    # (lane + step·stride) % refresh_interval == 0 are re-reset before
+    # the rollout (≈ B/refresh_interval lanes, uniformly striped across
+    # shards).  Under autoreset a GOOD policy almost never terminates, so
+    # long-running training drifts away from the fresh-reset state
+    # distribution evaluation starts from; the refresh keeps early-
+    # episode states in the data.  0 disables.
+    refresh_interval: int = 0
     # Reward scaling applied before the critic (grid penalties are O(1e2);
     # raw-mean reward in metrics is unscaled).
     reward_scale: float = 0.01
+    # Symmetric clip on the SCALED reward entering GAE/value targets.
+    # Grid collapses can produce huge (with cost clipping disabled, even
+    # infinite) terminal penalties; one such sample makes the value loss
+    # and its gradients non-finite and the run never recovers (observed:
+    # a 3000-iter multicap run NaN'd when lane refreshes raised the
+    # collapse rate).  The clip bounds the gradient while keeping the
+    # penalty's sign and magnitude-order; metrics report raw rewards.
+    reward_clip: float = 100.0
     # Optimization schedule: each update re-uses the rollout for n_epochs
     # passes over an (n_minibatches × n_lane_minibatches) minibatch grid.
     # The TIME axis is a per-epoch permutation; the LANE axis is cut into
@@ -229,6 +245,18 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
         return st, obs, traj
 
     def train_step(ts: TrainState, state, obs):
+        # 0. Rotating lane refresh (see PPOConfig.refresh_interval).
+        if cfg.refresh_interval:
+            n_lanes = obs.shape[0]
+            lane = jnp.arange(n_lanes)
+            mask = (lane + ts.step) % cfg.refresh_interval == 0
+            rkeys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(state.key)
+            rstate, robs = jax.vmap(env.reset)(rkeys)
+            pick = lambda a, b: jnp.where(  # noqa: E731
+                mask.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            state = jax.tree_util.tree_map(pick, rstate, state)
+            obs = pick(robs, obs)
+
         # 1. On-device rollout (the lane axis shards; the scan is batch-level).
         state2, obs2, traj = rollout(ts.params, state, obs)
         obs_T, act_T, rew_T, done_T = traj  # already [T, B, ...]
@@ -236,6 +264,10 @@ def make_train_step(env: VecEnv, cfg: PPOConfig):
 
         raw_mean_reward = rew_T.mean()
         rew_T = rew_T * cfg.reward_scale
+        if cfg.reward_clip:
+            rew_T = jnp.clip(jnp.nan_to_num(rew_T, neginf=-cfg.reward_clip,
+                                            posinf=cfg.reward_clip),
+                             -cfg.reward_clip, cfg.reward_clip)
 
         # 2. Advantages (computed once, from the pre-update parameters).
         values = value_fn(ts.params, obs_T)

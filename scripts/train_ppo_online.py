@@ -53,6 +53,10 @@ def main():
                     help="contiguous lane-axis minibatches per epoch")
     ap.add_argument("--cpu", action="store_true",
                     help="8 virtual CPU devices (mechanism check)")
+    ap.add_argument("--refresh-interval", type=int, default=0,
+                    help="rotating lane refresh: each train step, re-reset "
+                         "lanes with (lane+step) %% N == 0 so the policy "
+                         "keeps seeing fresh-reset states (0 = off)")
     ap.add_argument("--save", metavar="DIR", default=None,
                     help="save the final TrainState (params + Adam "
                          "moments) as an orbax checkpoint under DIR; "
@@ -81,7 +85,8 @@ def main():
     env = VecEnv(factory(), dtype=jnp.float32)
     cfg = PPOConfig(rollout_len=args.rollout, n_epochs=args.epochs,
                     n_minibatches=args.minibatches,
-                    n_lane_minibatches=args.lane_minibatches)
+                    n_lane_minibatches=args.lane_minibatches,
+                    refresh_interval=args.refresh_interval)
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     state, obs = jax.jit(jax.vmap(env.reset), out_shardings=(env_sh, env_sh))(keys)

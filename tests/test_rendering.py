@@ -40,8 +40,11 @@ def test_ws_client_to_server_relay():
     like the reference's hub (servers.py:47-60)."""
     server = WsServer()
     try:
-        viewer = WsClient(server.address)
-        publisher = WsClient(server.address)
+        # Generous socket timeout: under full-suite load on a 1-core box
+        # the relay thread can be starved for seconds (observed flake at
+        # the 5 s default; passes in <1 s unloaded).
+        viewer = WsClient(server.address, timeout=60.0)
+        publisher = WsClient(server.address, timeout=60.0)
         publisher.send(json.dumps({"messageLabel": "update", "k": 42}))
         assert json.loads(viewer.recv())["k"] == 42
         viewer.close()
