@@ -346,32 +346,31 @@ def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32, x_star=None) -> ChordC
     )
 
 
-def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
-                xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
-    """Chord-Newton phase of the load-flow solve (single lane; vmap it).
+def _chord_lane_core(const: ChordConst, dtype, xtol, lim_iter, stall_tol_factor):
+    """Per-lane building blocks of the chord-Newton iteration, shared by the
+    single-lane solver (:func:`chord_solve`) and the batch-compacted path
+    (:func:`chord_solve_batch`).  Returns ``(init, cond, body, epilogue)``:
 
-    Parameters
-    ----------
-    p, q : [N−1] — non-slack bus injections (as in :func:`nr_solve`).
-    w_a, w_b : scalars — W(a) entries Im δ and Re δ (0 when the lane's tap
-        is nominal or the network has no OLTC).
-    dtf_re, dtf_im : scalars — ΔY[t,f] = δ, the per-lane Y-bus correction;
-        the true mismatch is evaluated as V∘conj(Y0·V + ΔY·V) where
-        (ΔY·V)_t = δ·V_slack = δ (slack pinned at 1+0j).
-    const : :class:`ChordConst` — shared matrices (closed over at trace
-        time).
-    x0 : optional [2(N−1)] — warm-start iterate (e.g. the previous step's
-        solution); lanes whose guess contains non-finite entries fall back
-        to the flat start.  The fixed point is guess-independent (stopping
-        on the true residual), so this only changes iteration counts.
+    * ``init(p, q, w_a, w_b, dtf_re, dtf_im, x0) -> (data, carry)`` — fold
+      the Woodbury W(a) into the scalar K coefficients and evaluate the
+      starting residual; ``data`` is the loop-invariant per-lane problem
+      (p, q, δ, K) and ``carry`` the iteration state;
+    * ``cond(carry) -> bool`` — the lane's while-loop condition (the
+      region-dependent stall budget included);
+    * ``body(data, carry) -> carry`` — one chord+Anderson iteration;
+    * ``epilogue(data, carry) -> (x, F, diff, n_iter, accepted)`` — the
+      acceptance / flat-start-reset exit logic.
 
-    Returns ``(x, F, diff, n_iter, accepted)`` — a warm start for
-    :func:`nr_solve`; ``accepted`` lanes already satisfy the residual
-    criterion (diff ≤ xtol, or within the float32 rounding floor
-    ``stall_tol_factor·xtol`` after the residual plateaus) and skip the NR
-    loop entirely.
+    The per-lane MATH is identical regardless of which driver runs the
+    loop: JAX's vmapped while_loop applies exactly body-then-select with
+    the per-lane cond, which is what the batch driver replicates.  Bitwise
+    equality across drivers is NOT guaranteed, though — XLA blocks a
+    [C, 2n]@[2n, 2n] dot differently from [B, 2n]@[2n, 2n], and that
+    low-bit f32 drift can shift a plateau exit by an iteration.  The
+    solver CONTRACT (stop on the true mismatch residual; acceptance at
+    xtol / plateau ≤ 10·xtol) is driver-independent — pinned in
+    tests/test_chord_solver.py.
     """
-    dtype = p.dtype
     Y0re = jnp.asarray(const.Y0re, dtype)
     Y0im = jnp.asarray(const.Y0im, dtype)
     invJ0 = jnp.asarray(const.invJ0, dtype)
@@ -384,43 +383,14 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     # mismatch instead of a dynamic-update-slice per iteration (scatters
     # break XLA's elementwise fusion chains; launch count is the floor).
     e_t = jnp.zeros(n + 1, dtype).at[t].set(1.0)
-
-    # K = W (I + C W)⁻¹, 2×2 per lane in closed form.  W(a) at the
-    # linearization point V*: ΔS_t = V*_t·conj(δ) (slack pinned at 1+0j),
-    # so with δ = d_r + j·d_i = (w_b + j·w_a) and V*_t = va + j·vb:
-    #   dP_t/dθ_t = Re(j V* conj δ) = va·d_i − vb·d_r
-    #   dP_t/d|V_t| = Re(V̂* conj δ) = (va·d_r + vb·d_i)/|V*|
-    #   dQ_t/dθ_t = Im(j V* conj δ) = va·d_r + vb·d_i
-    #   dQ_t/d|V_t| = Im(V̂* conj δ) = (vb·d_r − va·d_i)/|V*|
-    # At the flat start (V* = 1) this is exactly [[Im δ, Re δ],
-    # [Re δ, −Im δ]], the original formula.
+    g_col0, g_col1 = G[:, 0], G[:, 1]
+    c00, c01, c10, c11 = C[0, 0], C[0, 1], C[1, 0], C[1, 1]
     va, vb = const.vstar_re, const.vstar_im
     vmag = float(np.hypot(va, vb))
-    d_i, d_r = w_a, w_b
-    # K = W (I + C W)⁻¹ unrolled to SCALAR algebra.  Forming per-lane
-    # [2, 2] tensors here costs real step time under vmap: the [B, 2, 2]
-    # K becomes a bf16 batched-dot operand of the while body, and XLA
-    # inserts three [8192, 2, 2] layout-conversion copies per step
-    # (~22 µs, measured in the round-4 HLO census).  As [B] scalars the
-    # whole correction chain fuses and runs f32 on the VPU (the fixed
-    # point is unchanged — the stopping rule tests the true mismatch).
-    w00 = va * d_i - vb * d_r
-    w01 = (va * d_r + vb * d_i) / vmag
-    w10 = va * d_r + vb * d_i
-    w11 = (vb * d_r - va * d_i) / vmag
-    c00, c01, c10, c11 = C[0, 0], C[0, 1], C[1, 0], C[1, 1]
-    m00 = 1.0 + c00 * w00 + c01 * w10
-    m01 = c00 * w01 + c01 * w11
-    m10 = c10 * w00 + c11 * w10
-    m11 = 1.0 + c10 * w01 + c11 * w11
-    det = m00 * m11 - m01 * m10
-    k00 = (w00 * m11 - w01 * m10) / det
-    k01 = (w01 * m00 - w00 * m01) / det
-    k10 = (w10 * m11 - w11 * m10) / det
-    k11 = (w11 * m00 - w10 * m01) / det
-    g_col0, g_col1 = G[:, 0], G[:, 1]
+    flat = jnp.concatenate([jnp.zeros(n, dtype=dtype), jnp.ones(n, dtype=dtype)])
+    stall_limit = 3
 
-    def mismatch(x):
+    def mismatch(x, p, q, dtf_re, dtf_im):
         theta, vm = x[:n], x[n:]
         v_re, v_im = _assemble_v(theta, vm, dtype)
         # HIGHEST precision: this is the convergence criterion (see
@@ -438,15 +408,49 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         s_im = v_im * yv_re - v_re * yv_im
         return jnp.concatenate([s_re[1:] - p, s_im[1:] - q])
 
-    flat = jnp.concatenate([jnp.zeros(n, dtype=dtype), jnp.ones(n, dtype=dtype)])
-    if x0 is None:
-        x0 = flat
-    else:
-        x0 = jnp.where(jnp.all(jnp.isfinite(x0)), x0.astype(dtype), flat)
-    F0 = mismatch(x0)
-    diff0 = jnp.max(jnp.abs(F0))
-
-    stall_limit = 3
+    def init(p, q, w_a, w_b, dtf_re, dtf_im, x0):
+        # K = W (I + C W)⁻¹, 2×2 per lane in closed form.  W(a) at the
+        # linearization point V*: ΔS_t = V*_t·conj(δ) (slack pinned at
+        # 1+0j), so with δ = d_r + j·d_i = (w_b + j·w_a) and V*_t = va+j·vb:
+        #   dP_t/dθ_t = Re(j V* conj δ) = va·d_i − vb·d_r
+        #   dP_t/d|V_t| = Re(V̂* conj δ) = (va·d_r + vb·d_i)/|V*|
+        #   dQ_t/dθ_t = Im(j V* conj δ) = va·d_r + vb·d_i
+        #   dQ_t/d|V_t| = Im(V̂* conj δ) = (vb·d_r − va·d_i)/|V*|
+        # At the flat start (V* = 1) this is exactly [[Im δ, Re δ],
+        # [Re δ, −Im δ]], the original formula.
+        # K is unrolled to SCALAR algebra.  Forming per-lane [2, 2] tensors
+        # here costs real step time under vmap: the [B, 2, 2] K becomes a
+        # bf16 batched-dot operand of the while body, and XLA inserts three
+        # [8192, 2, 2] layout-conversion copies per step (~22 µs, measured
+        # in the round-4 HLO census).  As [B] scalars the whole correction
+        # chain fuses and runs f32 on the VPU (the fixed point is
+        # unchanged — the stopping rule tests the true mismatch).
+        d_i, d_r = w_a, w_b
+        w00 = va * d_i - vb * d_r
+        w01 = (va * d_r + vb * d_i) / vmag
+        w10 = va * d_r + vb * d_i
+        w11 = (vb * d_r - va * d_i) / vmag
+        m00 = 1.0 + c00 * w00 + c01 * w10
+        m01 = c00 * w01 + c01 * w11
+        m10 = c10 * w00 + c11 * w10
+        m11 = 1.0 + c10 * w01 + c11 * w11
+        det = m00 * m11 - m01 * m10
+        k00 = (w00 * m11 - w01 * m10) / det
+        k01 = (w01 * m00 - w00 * m01) / det
+        k10 = (w10 * m11 - w11 * m10) / det
+        k11 = (w11 * m00 - w10 * m01) / det
+        if x0 is None:
+            x0 = flat
+        else:
+            x0 = jnp.where(jnp.all(jnp.isfinite(x0)), x0.astype(dtype), flat)
+        F0 = mismatch(x0, p, q, dtf_re, dtf_im)
+        diff0 = jnp.max(jnp.abs(F0))
+        data = (p, q, dtf_re, dtf_im, k00, k01, k10, k11)
+        carry = (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32), x0, jnp.zeros_like(F0))
+        if _AA_ORDER == 2:
+            carry = carry + (x0, jnp.zeros_like(F0))
+        return data, carry
 
     def cond(carry):
         x, F, diff, best, it, stall = carry[:6]
@@ -465,7 +469,8 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 2, stall_limit)
         return jnp.logical_and(active, stall < limit)
 
-    def body(carry):
+    def body(data, carry):
+        p, q, dtf_re, dtf_im, k00, k01, k10, k11 = data
         x, F, diff, best, it, stall, g_prev, f_prev, *hist2 = carry
         # Chord direction f and map value g = x + f.  The rank-2 Woodbury
         # correction G·K·(H·F) runs as scalar algebra: u = H·F is a tiny
@@ -531,7 +536,7 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
             gamma1 = jnp.where(use_aa, jnp.clip(gamma1, -5.0, 5.0), 0.0)
             gamma2 = jnp.where(use_aa, jnp.clip(gamma2, -5.0, 5.0), 0.0)
             x = g - gamma1 * (g - g_prev) - gamma2 * (g_prev - g_prev2)
-        F = mismatch(x)
+        F = mismatch(x, p, q, dtf_re, dtf_im)
         new_diff = jnp.max(jnp.abs(F))
         # Chord convergence is linear (typical rate ~0.25/iter here).
         # "Stalled" = 3 consecutive iterations without beating the best
@@ -547,55 +552,208 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
         out = (x, F, new_diff, best, it + 1, stall, g, f)
         return out + ((g_prev, f_prev) if _AA_ORDER == 2 else ())
 
-    carry0 = (x0, F0, diff0, diff0, jnp.zeros((), jnp.int32),
-              jnp.zeros((), jnp.int32), x0, jnp.zeros_like(F0))
-    if _AA_ORDER == 2:
-        carry0 = carry0 + (x0, jnp.zeros_like(F0))
-    out = jax.lax.while_loop(cond, body, carry0)
-    x, F, diff, _, n_iter, stall = out[:6]
-    # Sanitize the exit for the NR fallback.  Two failure shapes:
-    # (a) the iteration overflowed to inf/NaN — `diff > xtol` is then False
-    #     for NaN, so without a reset the fallback's loop condition would
-    #     never fire and the lane would be marked unstable even though
-    #     exact Newton from flat start may converge (a false network
-    #     collapse the f64 reference path would not produce);
-    # (b) the iteration wandered to a finite iterate WORSE than the flat
-    #     start (violent excursion inside the stall window) — the f32
-    #     fallback's own stall rule can then give up from that basin while
-    #     flat-start Newton would converge.
-    # Reset both to the flat start with a recomputed residual; at V ≡ 1 the
-    # mismatch is S = conj(Y·1) = conj(row sums), so this costs one
-    # reduction, not a matvec — the row sums of Y0 constant-fold at trace
-    # time.  Accepted lanes are never reset (their x is the answer).
-    finite = jnp.logical_and(jnp.isfinite(diff), jnp.all(jnp.isfinite(x)))
-    rs_re = jnp.sum(Y0re, axis=-1) + e_t * dtf_re
-    rs_im = jnp.sum(Y0im, axis=-1) + e_t * dtf_im
-    F_flat = jnp.concatenate([rs_re[1:] - p, -rs_im[1:] - q])
-    diff_flat = jnp.max(jnp.abs(F_flat))
-    # Accept at xtol, or at the plateau tolerance only when the lane
-    # actually plateaued (stall-limit exit).  A lane that hits lim_iter
-    # while still improving is NOT accepted — it proceeds to the exact-NR
-    # polish, matching nr_solve's f32 rule.
-    # Mirror cond's region-dependent stall budget: inside the acceptance
-    # band a stall of (stall_limit − 2) is a completed plateau exit.
-    eff_limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 2, stall_limit)
-    plateaued = jnp.logical_and(finite, stall >= eff_limit)
-    accepted = jnp.logical_or(
-        jnp.logical_and(finite, diff <= xtol),
-        jnp.logical_and(plateaued, diff <= stall_tol_factor * xtol),
-    )
-    # ~(diff <= diff_flat) is True for NaN diff, covering (a) within (b);
-    # the explicit `finite` term also catches non-finite x at finite diff.
-    reset = jnp.logical_and(
-        jnp.logical_not(accepted),
-        jnp.logical_or(jnp.logical_not(finite),
-                       jnp.logical_not(diff <= diff_flat)),
-    )
-    x = jnp.where(reset, flat, x)
-    F = jnp.where(reset, F_flat, F)
-    diff = jnp.where(reset, diff_flat, diff)
-    n_iter = jnp.where(reset, 0, n_iter)
-    return x, F, diff, n_iter, accepted
+    def epilogue(data, carry):
+        p, q, dtf_re, dtf_im = data[:4]
+        x, F, diff, _, n_iter, stall = carry[:6]
+        # Sanitize the exit for the NR fallback.  Two failure shapes:
+        # (a) the iteration overflowed to inf/NaN — `diff > xtol` is then
+        #     False for NaN, so without a reset the fallback's loop
+        #     condition would never fire and the lane would be marked
+        #     unstable even though exact Newton from flat start may converge
+        #     (a false network collapse the f64 reference path would not
+        #     produce);
+        # (b) the iteration wandered to a finite iterate WORSE than the flat
+        #     start (violent excursion inside the stall window) — the f32
+        #     fallback's own stall rule can then give up from that basin
+        #     while flat-start Newton would converge.
+        # Reset both to the flat start with a recomputed residual; at V ≡ 1
+        # the mismatch is S = conj(Y·1) = conj(row sums), so this costs one
+        # reduction, not a matvec — the row sums of Y0 constant-fold at
+        # trace time.  Accepted lanes are never reset (their x is the
+        # answer).
+        finite = jnp.logical_and(jnp.isfinite(diff), jnp.all(jnp.isfinite(x)))
+        rs_re = jnp.sum(Y0re, axis=-1) + e_t * dtf_re
+        rs_im = jnp.sum(Y0im, axis=-1) + e_t * dtf_im
+        F_flat = jnp.concatenate([rs_re[1:] - p, -rs_im[1:] - q])
+        diff_flat = jnp.max(jnp.abs(F_flat))
+        # Accept at xtol, or at the plateau tolerance only when the lane
+        # actually plateaued (stall-limit exit).  A lane that hits lim_iter
+        # while still improving is NOT accepted — it proceeds to the
+        # exact-NR polish, matching nr_solve's f32 rule.
+        # Mirror cond's region-dependent stall budget: inside the acceptance
+        # band a stall of (stall_limit − 2) is a completed plateau exit.
+        eff_limit = jnp.where(diff <= stall_tol_factor * xtol, stall_limit - 2, stall_limit)
+        plateaued = jnp.logical_and(finite, stall >= eff_limit)
+        accepted = jnp.logical_or(
+            jnp.logical_and(finite, diff <= xtol),
+            jnp.logical_and(plateaued, diff <= stall_tol_factor * xtol),
+        )
+        # ~(diff <= diff_flat) is True for NaN diff, covering (a) within
+        # (b); the explicit `finite` term also catches non-finite x at
+        # finite diff.
+        reset = jnp.logical_and(
+            jnp.logical_not(accepted),
+            jnp.logical_or(jnp.logical_not(finite),
+                           jnp.logical_not(diff <= diff_flat)),
+        )
+        x = jnp.where(reset, flat, x)
+        F = jnp.where(reset, F_flat, F)
+        diff = jnp.where(reset, diff_flat, diff)
+        n_iter = jnp.where(reset, 0, n_iter)
+        return x, F, diff, n_iter, accepted
+
+    return init, cond, body, epilogue
+
+
+def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
+                xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
+    """Chord-Newton phase of the load-flow solve (single lane; vmap it —
+    or call :func:`chord_solve_auto`, which compacts the batch tail).
+
+    Parameters
+    ----------
+    p, q : [N−1] — non-slack bus injections (as in :func:`nr_solve`).
+    w_a, w_b : scalars — W(a) entries Im δ and Re δ (0 when the lane's tap
+        is nominal or the network has no OLTC).
+    dtf_re, dtf_im : scalars — ΔY[t,f] = δ, the per-lane Y-bus correction;
+        the true mismatch is evaluated as V∘conj(Y0·V + ΔY·V) where
+        (ΔY·V)_t = δ·V_slack = δ (slack pinned at 1+0j).
+    const : :class:`ChordConst` — shared matrices (closed over at trace
+        time).
+    x0 : optional [2(N−1)] — warm-start iterate (e.g. the previous step's
+        solution); lanes whose guess contains non-finite entries fall back
+        to the flat start.  The fixed point is guess-independent (stopping
+        on the true residual), so this only changes iteration counts.
+
+    Returns ``(x, F, diff, n_iter, accepted)`` — a warm start for
+    :func:`nr_solve`; ``accepted`` lanes already satisfy the residual
+    criterion (diff ≤ xtol, or within the float32 rounding floor
+    ``stall_tol_factor·xtol`` after the residual plateaus) and skip the NR
+    loop entirely.
+    """
+    init, cond, body, epilogue = _chord_lane_core(
+        const, p.dtype, xtol, lim_iter, stall_tol_factor)
+    data, carry0 = init(p, q, w_a, w_b, dtf_re, dtf_im, x0)
+    out = jax.lax.while_loop(cond, lambda c: body(data, c), carry0)
+    return epilogue(data, out)
+
+
+def _select_lanes(act, new, old):
+    """Per-lane select matching JAX's while_loop batching rule."""
+    mask = act.reshape(act.shape + (1,) * (new.ndim - act.ndim))
+    return jnp.where(mask, new, old)
+
+
+def chord_solve_batch(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
+                      xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None,
+                      compact_den=8, compact_min=128):
+    """Batch-level chord solve with STRAGGLER COMPACTION.
+
+    ``vmap(chord_solve)`` pays the WORST lane's iteration count at
+    full-batch cost: each trip of the batched while loop runs the mismatch
+    matmul, trig re-assembly, and Anderson bookkeeping over all B lanes,
+    masked.  On the bench action distribution the active set collapses
+    fast (measured warm at B=2048: ~100% of lanes active through iteration
+    3, ~30% after 5, ~10% after 6, <1% after 8, worst lane ~9-10), so the
+    last ~3 iterations run at full width for a few-percent active set.
+
+    This driver runs the identical per-lane iteration (same
+    `_chord_lane_core` body; values agree to matmul-width rounding — see
+    the core's docstring) in two phases:
+
+    1. full-batch masked iterations while more than ``C = max(compact_min,
+       B // compact_den)`` lanes are active;
+    2. gather the ≤ C active lanes' carries into a [C]-lane buffer
+       (``jnp.nonzero(..., size=C)``; padding repeats lane 0, whose updates
+       are value-identical duplicates), iterate that to completion, and
+       scatter the finished carries back.
+
+    Cold solves (~100% active for most of their ~13 iterations) simply stay
+    in phase 1 until the tail, so the worst case is the old cost plus one
+    gather/scatter.  ``compact_den``/``compact_min`` bound the buffer; B ≤
+    ``compact_min`` (tests, small farms) skips compaction entirely and is
+    then operation-for-operation the plain batched loop.
+    """
+    B = p.shape[0]
+    init, cond, body, epilogue = _chord_lane_core(
+        const, p.dtype, xtol, lim_iter, stall_tol_factor)
+    if x0 is None:
+        data, carry = jax.vmap(
+            lambda *a: init(*a, None))(p, q, w_a, w_b, dtf_re, dtf_im)
+    else:
+        data, carry = jax.vmap(init)(p, q, w_a, w_b, dtf_re, dtf_im, x0)
+    cond_v = jax.vmap(cond)
+    body_v = jax.vmap(body)
+
+    def masked(dat, c):
+        act = cond_v(c)
+        new = body_v(dat, c)
+        return jax.tree.map(partial(_select_lanes, act), new, c)
+
+    C = max(int(compact_min), B // int(compact_den))
+    if C >= B:
+        final = jax.lax.while_loop(
+            lambda c: jnp.any(cond_v(c)), lambda c: masked(data, c), carry)
+    else:
+        phase1 = jax.lax.while_loop(
+            lambda c: jnp.sum(cond_v(c)) > C, lambda c: masked(data, c), carry)
+        idx = jnp.nonzero(cond_v(phase1), size=C, fill_value=0)[0]
+        sub_data = jax.tree.map(lambda a: a[idx], data)
+        sub_carry = jax.tree.map(lambda a: a[idx], phase1)
+        sub_final = jax.lax.while_loop(
+            lambda c: jnp.any(cond_v(c)), lambda c: masked(sub_data, c), sub_carry)
+        final = jax.tree.map(
+            lambda full, sub: full.at[idx].set(sub), phase1, sub_final)
+    return jax.vmap(epilogue)(data, final)
+
+
+# Compaction defaults: GYM_ANM_CHORD_COMPACT=0 opts out (A/B experiments);
+# the divisor/minimum mirror chord_solve_batch's keyword defaults.
+_CHORD_COMPACT = os.environ.get("GYM_ANM_CHORD_COMPACT", "1") != "0"
+_CHORD_COMPACT_DEN = int(os.environ.get("GYM_ANM_CHORD_COMPACT_DEN", "8"))
+
+
+def chord_solve_auto(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
+                     xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
+    """:func:`chord_solve` that COMPACTS under vmap.
+
+    Called per lane (as the transition does) it is exactly
+    :func:`chord_solve`; under ``vmap`` a ``custom_vmap`` rule dispatches
+    the whole batch to :func:`chord_solve_batch`, whose straggler
+    compaction saves the last few full-width iterations.  Lane results
+    agree to f32 matmul-width rounding (same per-lane core; the residual
+    contract and acceptance are identical — pinned in
+    tests/test_chord_solver.py), so the acceptance-cliff guard and all
+    parity tolerances are unaffected.
+    """
+    n = const.Y0re.shape[-1] - 1
+    if x0 is None:
+        x0 = jnp.concatenate([jnp.zeros(n, p.dtype), jnp.ones(n, p.dtype)])
+
+    @jax.custom_batching.custom_vmap
+    def _solve(p, q, w_a, w_b, dtf_re, dtf_im, x0):
+        return chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const,
+                           xtol=xtol, lim_iter=lim_iter,
+                           stall_tol_factor=stall_tol_factor, x0=x0)
+
+    @_solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+                for a, b in zip(args, in_batched)]
+        p, q, w_a, w_b, dtf_re, dtf_im, x0 = args
+        if _CHORD_COMPACT:
+            out = chord_solve_batch(p, q, w_a, w_b, dtf_re, dtf_im, const,
+                                    xtol=xtol, lim_iter=lim_iter,
+                                    stall_tol_factor=stall_tol_factor, x0=x0,
+                                    compact_den=_CHORD_COMPACT_DEN)
+        else:
+            out = jax.vmap(lambda *a: chord_solve(
+                *a, const, xtol=xtol, lim_iter=lim_iter,
+                stall_tol_factor=stall_tol_factor))(p, q, w_a, w_b,
+                                                    dtf_re, dtf_im, x0)
+        return out, tuple(True for _ in out)
+
+    return _solve(p, q, w_a, w_b, dtf_re, dtf_im, x0)
 
 
 def nr_solve_lazy(ybus_fn, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:
