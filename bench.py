@@ -51,8 +51,12 @@ def _time_reps(run_jit, state, obs, n_reps, steps_per_rep):
     return steps_per_rep * n_reps / elapsed
 
 
-def bench_random(env, batch, n_steps, n_reps, autoreset, rng_impl=None):
-    """Random-action throughput for one VecEnv (workloads 1 and 2)."""
+def make_random_run(env, batch, n_steps, autoreset, rng_impl=None):
+    """Build the random-action scan program + initial state.
+
+    Factored out of :func:`bench_random` so verify_tpu.py's cold-compile
+    gate can AOT-compile the EXACT headline program (same closure, same
+    shapes) without timing it."""
     from gym_anm_tpu.vec import farm_keys
 
     lo, hi = env.action_low, env.action_high
@@ -77,7 +81,12 @@ def bench_random(env, batch, n_steps, n_reps, autoreset, rng_impl=None):
         (state, obs), rs = jax.lax.scan(body, (state, obs), jnp.arange(n_steps))
         return state, obs, rs.sum()
 
-    run_jit = jax.jit(run, donate_argnums=(0,))
+    return jax.jit(run, donate_argnums=(0,)), state, obs
+
+
+def bench_random(env, batch, n_steps, n_reps, autoreset, rng_impl=None):
+    """Random-action throughput for one VecEnv (workloads 1 and 2)."""
+    run_jit, state, obs = make_random_run(env, batch, n_steps, autoreset, rng_impl)
     return _time_reps(run_jit, state, obs, n_reps, batch * n_steps)
 
 
@@ -186,6 +195,23 @@ def _wait_for_backend(deadline_s=1500.0, probe_timeout_s=120.0):
         time.sleep(min(60.0, remaining))
 
 
+def _run_workload(name, fn, sink, errors):
+    """Fault isolation: one workload's failure (compile error, backend
+    hiccup) must not zero the whole round's metrics — survivors still
+    report, the failure rides in the JSON (BENCH_r04 lesson: a single
+    VMEM OOM produced rc=1 and zero captured metrics)."""
+    import traceback
+
+    try:
+        sink.append(_metric(name, fn()))
+        return True
+    except Exception as e:  # noqa: BLE001 — deliberately broad: report, don't die
+        tb = traceback.format_exc(limit=3)
+        print(f"workload {name} FAILED: {e}\n{tb}", file=sys.stderr)
+        errors.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+        return False
+
+
 def main(batch=8192, quick=False, rng_impl=None):
     _wait_for_backend()
     from gym_anm_tpu.vec import VecEnv, make_ieee33_multicap_task, make_ieee33_task
@@ -196,37 +222,60 @@ def main(batch=8192, quick=False, rng_impl=None):
     # a harness artifact a local deployment does not pay, so the bench
     # amortizes it over a longer scan.  lax.scan compiles its body once,
     # so the longer trip count costs no extra compile time.
-    # 1. Headline: base IEEE33, 3-dim action, plain step.
     env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
-    base = bench_random(env, batch, n_steps=128, n_reps=3, autoreset=False,
-                        rng_impl=rng_impl)
-    headline = _metric(f"ieee33_env_steps_per_s_b{batch}_1chip", base)
+    head_sink, extras, errors = [], [], []
 
-    extras = []
+    # 1. Headline: base IEEE33, 3-dim action, plain step.
+    _run_workload(
+        f"ieee33_env_steps_per_s_b{batch}_1chip",
+        lambda: bench_random(env, batch, n_steps=128, n_reps=3,
+                             autoreset=False, rng_impl=rng_impl),
+        head_sink, errors)
+
     if not quick:
         # 1b. Base task at B=32768: larger batches amortize the
         # kernel-launch floor (docs/performance.md batch sweep) — the
         # scale-out operating point.
-        big = bench_random(env, 32768, n_steps=128, n_reps=3, autoreset=False,
-                           rng_impl=rng_impl)
-        extras.append(_metric("ieee33_env_steps_per_s_b32768_1chip", big))
+        _run_workload(
+            "ieee33_env_steps_per_s_b32768_1chip",
+            lambda: bench_random(env, 32768, n_steps=128, n_reps=3,
+                                 autoreset=False, rng_impl=rng_impl),
+            extras, errors)
 
         # 2. Flagship: 17-dim multicap, random actions + autoreset.
         env_mc = VecEnv(make_ieee33_multicap_task(), dtype=jnp.float32)
-        flagship = bench_random(env_mc, batch, n_steps=128, n_reps=3, autoreset=True,
-                                rng_impl=rng_impl)
-        extras.append(_metric(f"ieee33_multicap17_env_steps_per_s_b{batch}_1chip", flagship))
+        _run_workload(
+            f"ieee33_multicap17_env_steps_per_s_b{batch}_1chip",
+            lambda: bench_random(env_mc, batch, n_steps=128, n_reps=3,
+                                 autoreset=True, rng_impl=rng_impl),
+            extras, errors)
 
         # 3. L0-L5 controller-in-the-loop dataset generation on the 17-dim task.
-        ds = bench_l0l5_dataset(env_mc, batch, n_steps=64, n_reps=3)
-        extras.append(_metric(f"ieee33_multicap17_l0l5_dataset_steps_per_s_b{batch}_1chip", ds))
+        _run_workload(
+            f"ieee33_multicap17_l0l5_dataset_steps_per_s_b{batch}_1chip",
+            lambda: bench_l0l5_dataset(env_mc, batch, n_steps=64, n_reps=3),
+            extras, errors)
 
         # 4. MPC-in-the-loop rollout: batched ADMM DC-OPF per lane per step.
-        mpc = bench_mpc_rollout(batch, n_steps=64, n_reps=3)
-        extras.append(_metric(f"anm6easy_mpc_rollout_steps_per_s_b{batch}_1chip", mpc))
+        _run_workload(
+            f"anm6easy_mpc_rollout_steps_per_s_b{batch}_1chip",
+            lambda: bench_mpc_rollout(batch, n_steps=64, n_reps=3),
+            extras, errors)
 
+    if head_sink:
+        headline = head_sink[0]
+    elif extras:
+        # headline failed but others survived: promote the first survivor
+        # so the round still records a parseable metric
+        headline = extras.pop(0)
+    else:
+        headline = {"metric": "bench_failed", "value": 0.0,
+                    "unit": "env-steps/s", "vs_baseline": 0.0}
     headline["extra_metrics"] = extras
+    if errors:
+        headline["errors"] = errors
     print(json.dumps(headline))
+    return 0 if not errors else (0 if (head_sink or extras) else 1)
 
 
 if __name__ == "__main__":
@@ -237,8 +286,8 @@ if __name__ == "__main__":
             if rng_impl in ("threefry", "default"):
                 rng_impl = None
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(
+    sys.exit(main(
         batch=int(args[0]) if args else 8192,
         quick="--quick" in sys.argv,
         rng_impl=rng_impl,
-    )
+    ))

@@ -707,24 +707,32 @@ def chord_solve_batch(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     return jax.vmap(epilogue)(data, final)
 
 
-# Compaction defaults: GYM_ANM_CHORD_COMPACT=0 opts out (A/B experiments);
-# the divisor/minimum mirror chord_solve_batch's keyword defaults.
-_CHORD_COMPACT = os.environ.get("GYM_ANM_CHORD_COMPACT", "1") != "0"
+# Straggler compaction is OFF by default: the jnp.nonzero(size=C) gather
+# machinery fails TPU compilation at the headline shape (scoped-VMEM OOM
+# in the nonzero reduce-window lowering at B=8192, C=1024 — BENCH_r04),
+# and no on-TPU measurement has ever shown it winning (the step is
+# event-count-bound; see docs/performance.md "Negative results").
+# GYM_ANM_CHORD_COMPACT=1 opts in for A/B experiments; the
+# divisor/minimum mirror chord_solve_batch's keyword defaults.
+_CHORD_COMPACT = os.environ.get("GYM_ANM_CHORD_COMPACT", "0") == "1"
 _CHORD_COMPACT_DEN = int(os.environ.get("GYM_ANM_CHORD_COMPACT_DEN", "8"))
 
 
 def chord_solve_auto(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
                      xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
-    """:func:`chord_solve` that COMPACTS under vmap.
+    """:func:`chord_solve` with a batch-level dispatch hook under vmap.
 
     Called per lane (as the transition does) it is exactly
-    :func:`chord_solve`; under ``vmap`` a ``custom_vmap`` rule dispatches
-    the whole batch to :func:`chord_solve_batch`, whose straggler
-    compaction saves the last few full-width iterations.  Lane results
-    agree to f32 matmul-width rounding (same per-lane core; the residual
-    contract and acceptance are identical — pinned in
-    tests/test_chord_solver.py), so the acceptance-cliff guard and all
-    parity tolerances are unaffected.
+    :func:`chord_solve`; under ``vmap`` a ``custom_vmap`` rule takes over
+    the whole batch.  By default that rule runs the plain batched loop
+    (operation-for-operation ``vmap(chord_solve)``); with
+    ``GYM_ANM_CHORD_COMPACT=1`` it dispatches to
+    :func:`chord_solve_batch`, whose straggler compaction trades the last
+    few full-width iterations for a gather/scatter (A/B experiments only
+    — see the ``_CHORD_COMPACT`` note above).  Lane results agree to f32
+    matmul-width rounding (same per-lane core; the residual contract and
+    acceptance are identical — pinned in tests/test_chord_solver.py), so
+    the acceptance-cliff guard and all parity tolerances are unaffected.
     """
     n = const.Y0re.shape[-1] - 1
     if x0 is None:
@@ -748,9 +756,9 @@ def chord_solve_auto(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
                                     compact_den=_CHORD_COMPACT_DEN)
         else:
             out = jax.vmap(lambda *a: chord_solve(
-                *a, const, xtol=xtol, lim_iter=lim_iter,
-                stall_tol_factor=stall_tol_factor))(p, q, w_a, w_b,
-                                                    dtf_re, dtf_im, x0)
+                *a[:6], const, xtol=xtol, lim_iter=lim_iter,
+                stall_tol_factor=stall_tol_factor, x0=a[6]))(
+                    p, q, w_a, w_b, dtf_re, dtf_im, x0)
         return out, tuple(True for _ in out)
 
     return _solve(p, q, w_a, w_b, dtf_re, dtf_im, x0)

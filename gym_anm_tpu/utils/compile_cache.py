@@ -29,6 +29,11 @@ def enable_persistent_cache(path: str = None) -> str:
     """
     import jax
 
+    # GYM_ANM_NO_COMPILE_CACHE=1 forces a true cold compile (used by
+    # verify_tpu.py's cold-compile gate: a warm cache can hide a program
+    # the compiler would reject — the round-4 failure mode).
+    if os.environ.get("GYM_ANM_NO_COMPILE_CACHE") == "1":
+        return None
     configured = jax.config.jax_compilation_cache_dir
     if configured:
         return configured

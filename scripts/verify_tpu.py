@@ -5,7 +5,7 @@ chord path, residual/iteration health) and a compat-tier smoke.  Prints
 PASS/FAIL per probe plus wall timings (the compat timing doubles as the
 persistent-compile-cache cold/warm measurement when run twice).
 
-Usage: python scripts/verify_tpu.py [--skip-compat]
+Usage: python scripts/verify_tpu.py [--skip-compat] [--skip-cold-compile]
 """
 
 import os
@@ -84,8 +84,14 @@ def acceptance_probe():
     lands differently on the MXU — and one unaccepted lane drags the
     whole batch through the exact-NR fallback (~4x slower, CLAUDE.md
     "acceptance cliff").  This probe fails verification instead of
-    letting that surface as a silent bench slowdown."""
-    from gym_anm_tpu.physics.power_flow import chord_solve
+    letting that surface as a silent bench slowdown.
+
+    Probes through chord_solve_auto — the dispatching driver the
+    transition actually routes through under vmap — so the device guard
+    compiles the PRODUCTION solver path, not a bypass (the round-4
+    compile failure shipped precisely because this probe exercised plain
+    chord_solve while production dispatched elsewhere)."""
+    from gym_anm_tpu.physics.power_flow import chord_solve_auto
     from gym_anm_tpu.vec import VecEnv, make_ieee33_task
 
     env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
@@ -97,7 +103,7 @@ def acceptance_probe():
         inv_da = 1.0 / a - 1.0 / tb.chord_a0
         dtf_re = -(tb.chord_y_re) * inv_da
         dtf_im = -(tb.chord_y_im) * inv_da
-        return chord_solve(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+        return chord_solve_auto(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
 
     solve = jax.jit(jax.vmap(lane))
     ok = True
@@ -148,6 +154,48 @@ def mpc_probe():
     )
 
 
+_COLD_COMPILE_CODE = """
+import sys
+sys.path.insert(0, {root!r})
+import jax, jax.numpy as jnp
+import bench
+from gym_anm_tpu.vec import VecEnv, make_ieee33_task
+env = VecEnv(make_ieee33_task(), dtype=jnp.float32)
+run_jit, state, obs = bench.make_random_run(env, 8192, 128, autoreset=False)
+run_jit.lower(state, obs, 0).compile()
+print("COLD_COMPILE_OK")
+"""
+
+
+def cold_compile_gate(timeout_s=2400.0):
+    """Compile the EXACT headline bench program (B=8192, 128-step scan)
+    with the persistent compile cache DISABLED, in a fresh subprocess.
+
+    A warm on-disk cache replays a previously accepted executable, so an
+    in-process run cannot prove the CURRENT tree's program still compiles
+    — that is exactly how the round-4 VMEM-OOM regression passed local
+    verification and then zeroed the driver's cold bench run.  This gate
+    exercises the real compiler on the real program shape every time.
+    """
+    import subprocess
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ, GYM_ANM_NO_COMPILE_CACHE="1")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _COLD_COMPILE_CODE.format(root=root)],
+            env=env, capture_output=True, text=True, timeout=timeout_s)
+        ok = r.returncode == 0 and "COLD_COMPILE_OK" in r.stdout
+        detail = f"wall={time.time()-t0:.0f}s"
+        if not ok:
+            detail += " :: " + (r.stderr.strip().splitlines() or ["no stderr"])[-1][:300]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"timed out after {timeout_s:.0f}s"
+    return check("headline bench program cold-compiles (cache disabled)", ok, detail)
+
+
 def compat_smoke():
     t0 = time.time()
     import gym_anm_tpu
@@ -167,6 +215,8 @@ if __name__ == "__main__":
     ok = vec_probes()
     ok = acceptance_probe() and ok
     ok = mpc_probe() and ok
+    if "--skip-cold-compile" not in sys.argv:
+        ok = cold_compile_gate() and ok
     if "--skip-compat" not in sys.argv:
         ok = compat_smoke() and ok
     print("VERIFY", "OK" if ok else "FAILED")

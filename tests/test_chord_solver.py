@@ -372,8 +372,8 @@ def test_chord_compaction_within_solver_noise():
 
 def test_chord_auto_dispatch_matches_contract():
     """chord_solve_auto under vmap (the transition's path) dispatches to the
-    compacted driver.  Exact bit-equality with vmap(chord_solve) is NOT the
-    contract — the two drivers are different XLA programs and f32 rounding
+    batch-level driver.  Exact bit-equality with vmap(chord_solve) is NOT the
+    contract — the drivers may be different XLA programs and f32 rounding
     differs in low bits — the solver contract is: identical acceptance, every
     accepted lane at/below the plateau bound, and iterates within the f32
     solver noise of each other."""
@@ -397,6 +397,37 @@ def test_chord_auto_dispatch_matches_contract():
     # iterates agree within f32 solver noise (both stop on the true residual)
     dx = jnp.max(jnp.abs(ref[0] - auto[0]))
     assert float(dx) <= 5e-5, f"iterate drift {float(dx):.2e}"
+
+
+def test_chord_auto_both_dispatch_branches_execute(monkeypatch):
+    """BOTH branches of chord_solve_auto's custom_vmap rule must actually
+    run: the plain batched loop (_CHORD_COMPACT=False, the default and
+    the production TPU path) and the compacting driver (=True, A/B
+    opt-in).  Round 4 shipped an opt-out branch with a positional-arg bug
+    that raised TypeError on first call — this pins that both code paths
+    execute and agree on the solver contract."""
+    import importlib
+
+    pf = importlib.import_module("gym_anm_tpu.physics.power_flow")
+    tb = VecEnv(make_ieee33_task(), dtype=jnp.float32).tables
+    B = 1024
+    args = _bench_like_problem(tb, B)
+
+    outs = {}
+    for compact in (False, True):
+        monkeypatch.setattr(pf, "_CHORD_COMPACT", compact)
+
+        def lane(p, q, wa, wb, dr, di, x):
+            return pf.chord_solve_auto(p, q, wa, wb, dr, di, tb.chord, x0=x)
+
+        # fresh jit each time: the rule closes over the global at call time,
+        # but a cached executable would not re-trace
+        outs[compact] = jax.jit(jax.vmap(lane))(*args)
+    plain, comp = outs[False], outs[True]
+    assert np.array_equal(np.asarray(plain[4]), np.asarray(comp[4]))
+    assert int(jnp.sum(~plain[4])) == 0
+    assert float(jnp.max(plain[2])) <= 1e-4
+    assert float(jnp.max(jnp.abs(plain[0] - comp[0]))) <= 5e-5
 
 
 def test_chord_auto_acceptance_total_like_bench():
