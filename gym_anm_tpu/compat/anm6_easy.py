@@ -71,16 +71,20 @@ class ANM6(ANMEnv):
 
     # --- rendering (lazy import; anm6.py:46-111) -----------------------
     def render(self, mode="human", skip_frames=0):
-        if self.render_mode is None:
-            if mode not in ["human"]:
+        # Init keys on is_rendering, NOT `render_mode is None`: Gymnasium
+        # users routinely set env.render_mode = "human" themselves, which
+        # must not skip server startup (it left skipped_frames=None and
+        # crashed the frame branch).
+        if not self.is_rendering:
+            if (self.render_mode or mode) not in ["human"]:
                 raise NotImplementedError()
-            self.render_mode = mode
+            self.render_mode = self.render_mode or mode
             self.skipped_frames = 0
             rendered = ["dev_type", "dev_p", "dev_q", "branch_s", "bus_v", "des_soc"]
             specs = {s: self.network_specs[s] for s in rendered}
             self._init_render(specs)
-            self.render(mode=mode, skip_frames=skip_frames)
             self.is_rendering = True
+            self.render(mode=self.render_mode, skip_frames=skip_frames)
         else:
             self.skipped_frames = (self.skipped_frames + 1) % (skip_frames + 1)
             if self.skipped_frames:
@@ -145,6 +149,7 @@ class ANM6(ANMEnv):
             except AttributeError:
                 pass
         self.render_mode = None
+        self.is_rendering = False
 
 
 class ANM6Easy(ANM6):
