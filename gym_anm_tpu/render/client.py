@@ -195,7 +195,7 @@ function build(s) {
     const c = el("circle", {cx: x, cy: y, r: 7, class: "bus", fill: "#bbb"});
     el("text", {x: x, y: y - 10, class: "lbl", "text-anchor": "middle"})
       .textContent = "bus " + b;
-    const vlbl = el("text", {x: x, y: y + 19, class: "lbl",
+    const vlbl = el("text", {x: x, y: y + 19, class: "lbl vlbl",
                              "text-anchor": "middle"});
     return {c, vlbl};
   });

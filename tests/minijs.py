@@ -1,0 +1,1381 @@
+"""A minimal ES6 interpreter + DOM, just big enough to EXECUTE the
+dashboard's client script (gym_anm_tpu/render/client.py) in-process.
+
+This image has no browser and no JS engine (no chromium/node/bun, no
+dukpy/py_mini_racer), so the in-browser E2E cannot run as a subprocess.
+Instead of regex-gating the script (tests/test_rendering_client_js.py),
+this module actually runs it: tokenizer -> Pratt parser -> tree-walking
+evaluator over the subset the client uses, plus a DOM built from the
+page's real HTML (stdlib html.parser) and host objects for Math / JSON /
+String / setTimeout / WebSocket.  tests/test_rendering_browser.py wires
+the page's `new WebSocket(...)` to the REAL WsServer over TCP
+(render/ws.py WsClient), so init/update frames travel the production
+path end-to-end and the page's build()/update() handlers mutate the DOM
+for the assertions.
+
+Supported subset (everything client.py uses, a bit of margin):
+  const/let (multi-declarator, array destructuring), function
+  declarations (hoisted per scope), arrow functions, if/else, for-in,
+  for(;;), while, return, blocks; ternary, && || !, === !== == != < > <=
+  >=, + - * / %, unary -, postfix ++/--, assignment (= += -=) to
+  names/members/indexes, calls, `new`, member/index chains, object
+  literals (shorthand, string & reserved-word keys), array literals,
+  template literals, numbers (incl. 1e8), strings, comments.
+
+JS semantics honored where they differ from Python: `[]`/`{}` are
+truthy, out-of-range index / missing property is `undefined`, `+` does
+string coercion, number keys stringify for object indexing, `%` is
+remainder (sign of dividend), toFixed/padStart behave like JS.
+"""
+
+import json as _json
+import math
+import re
+
+# ---------------------------------------------------------------------------
+# values
+
+
+class _Undefined:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+    def __bool__(self):
+        return False
+
+
+UNDEF = _Undefined()
+
+
+def truthy(v):
+    if v is UNDEF or v is None or v is False:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return not (v == 0 or (isinstance(v, float) and math.isnan(v)))
+    if isinstance(v, str):
+        return len(v) > 0
+    return True  # arrays, objects, functions, host objects
+
+
+def js_str(v):
+    if v is UNDEF:
+        return "undefined"
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v == int(v) and abs(v) < 1e21:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return ",".join("" if x is UNDEF or x is None else js_str(x) for x in v)
+    return str(v)
+
+
+def js_num(v):
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return v
+    if v is None:
+        return 0
+    if isinstance(v, str):
+        try:
+            return float(v) if ("." in v or "e" in v or "E" in v) else int(v)
+        except ValueError:
+            return float("nan")
+    return float("nan")
+
+
+def js_key(v):
+    """ToPropertyKey: numbers stringify canonically."""
+    if isinstance(v, str):
+        return v
+    return js_str(v)
+
+
+def js_eq_strict(a, b):
+    if (a is UNDEF) or (b is UNDEF):
+        return a is b
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b
+
+
+def js_add(a, b):
+    if isinstance(a, str) or isinstance(b, str):
+        return js_str(a) + js_str(b)
+    return js_num(a) + js_num(b)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+_PUNCT = [
+    "===", "!==", "**=", "...", "=>", "==", "!=", "<=", ">=", "&&", "||",
+    "++", "--", "+=", "-=", "*=", "/=", "%=", "{", "}", "(", ")", "[", "]",
+    ";", ",", ".", "?", ":", "=", "+", "-", "*", "/", "%", "<", ">", "!",
+]
+
+_NUM_RE = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+_ID_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
+
+KEYWORDS = {
+    "const", "let", "var", "function", "return", "if", "else", "for", "in",
+    "of", "while", "new", "null", "true", "false", "undefined", "typeof",
+    "break", "continue",
+}
+
+
+class Tok:
+    __slots__ = ("kind", "val", "pos")
+
+    def __init__(self, kind, val, pos):
+        self.kind, self.val, self.pos = kind, val, pos
+
+    def __repr__(self):
+        return f"Tok({self.kind},{self.val!r})"
+
+
+def tokenize(src):
+    toks = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i)
+            if j < 0:
+                raise SyntaxError("unterminated comment")
+            i = j + 2
+            continue
+        if c in "\"'":
+            j = i + 1
+            buf = []
+            while j < n and src[j] != c:
+                if src[j] == "\\":
+                    esc = src[j + 1]
+                    buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise SyntaxError("unterminated string")
+            toks.append(Tok("str", "".join(buf), i))
+            i = j + 1
+            continue
+        if c == "`":
+            # template literal: parts list of ("str", s) / ("expr", toks)
+            parts = []
+            buf = []
+            j = i + 1
+            while j < n and src[j] != "`":
+                if src[j] == "\\":
+                    esc = src[j + 1]
+                    buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(esc, esc))
+                    j += 2
+                elif src.startswith("${", j):
+                    parts.append(("str", "".join(buf)))
+                    buf = []
+                    depth = 1
+                    k = j + 2
+                    while k < n and depth:
+                        if src[k] == "{":
+                            depth += 1
+                        elif src[k] == "}":
+                            depth -= 1
+                        k += 1
+                    parts.append(("expr", src[j + 2:k - 1]))
+                    j = k
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise SyntaxError("unterminated template literal")
+            parts.append(("str", "".join(buf)))
+            toks.append(Tok("template", parts, i))
+            i = j + 1
+            continue
+        m = _NUM_RE.match(src, i)
+        if m and c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            m = _NUM_RE.match(src, i)
+            text = m.group(0)
+            val = float(text)
+            if val.is_integer() and "e" not in text and "E" not in text and "." not in text:
+                val = int(val)
+            toks.append(Tok("num", val, i))
+            i = m.end()
+            continue
+        m = _ID_RE.match(src, i)
+        if m:
+            name = m.group(0)
+            toks.append(Tok("kw" if name in KEYWORDS else "id", name, i))
+            i = m.end()
+            continue
+        for p in _PUNCT:
+            if src.startswith(p, i):
+                toks.append(Tok("punct", p, i))
+                i += len(p)
+                break
+        else:
+            raise SyntaxError(f"unexpected character {c!r} at {i}")
+    toks.append(Tok("eof", None, n))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# parser -> tuple AST
+
+
+class Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at(self, kind, val=None):
+        t = self.peek()
+        return t.kind == kind and (val is None or t.val == val)
+
+    def eat(self, kind, val=None):
+        if self.at(kind, val):
+            return self.next()
+        return None
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise SyntaxError(f"expected {val or kind}, got {t!r}")
+        return t
+
+    # -- statements -----------------------------------------------------
+    def parse_program(self):
+        body = []
+        while not self.at("eof"):
+            body.append(self.parse_stmt())
+        return ("block", body)
+
+    def parse_stmt(self):
+        t = self.peek()
+        if t.kind == "punct" and t.val == "{":
+            return self.parse_block()
+        if t.kind == "punct" and t.val == ";":
+            self.next()
+            return ("empty",)
+        if t.kind == "kw":
+            if t.val in ("const", "let", "var"):
+                s = self.parse_decl()
+                self.eat("punct", ";")
+                return s
+            if t.val == "function":
+                return self.parse_function_decl()
+            if t.val == "return":
+                self.next()
+                if self.at("punct", ";") or self.at("punct", "}"):
+                    self.eat("punct", ";")
+                    return ("return", None)
+                e = self.parse_expr()
+                self.eat("punct", ";")
+                return ("return", e)
+            if t.val == "if":
+                return self.parse_if()
+            if t.val == "for":
+                return self.parse_for()
+            if t.val == "while":
+                self.next()
+                self.expect("punct", "(")
+                cond = self.parse_expr()
+                self.expect("punct", ")")
+                body = self.parse_stmt()
+                return ("while", cond, body)
+            if t.val in ("break", "continue"):
+                self.next()
+                self.eat("punct", ";")
+                return (t.val,)
+        e = self.parse_expr()
+        self.eat("punct", ";")
+        return ("exprstmt", e)
+
+    def parse_block(self):
+        self.expect("punct", "{")
+        body = []
+        while not self.at("punct", "}"):
+            body.append(self.parse_stmt())
+        self.expect("punct", "}")
+        return ("block", body)
+
+    def parse_decl(self):
+        kind = self.next().val
+        decls = []
+        while True:
+            if self.at("punct", "["):  # array destructuring
+                self.next()
+                names = []
+                while not self.at("punct", "]"):
+                    names.append(self.expect("id").val)
+                    if not self.eat("punct", ","):
+                        break
+                self.expect("punct", "]")
+                self.expect("punct", "=")
+                decls.append(("arr", names, self.parse_assign()))
+            else:
+                name = self.expect("id").val
+                init = None
+                if self.eat("punct", "="):
+                    init = self.parse_assign()
+                decls.append(("one", name, init))
+            if not self.eat("punct", ","):
+                break
+        return ("decl", kind, decls)
+
+    def parse_function_decl(self):
+        self.expect("kw", "function")
+        name = self.expect("id").val
+        params = self.parse_params()
+        body = self.parse_block()
+        return ("funcdecl", name, params, body)
+
+    def parse_params(self):
+        self.expect("punct", "(")
+        params = []
+        while not self.at("punct", ")"):
+            params.append(self.expect("id").val)
+            if not self.eat("punct", ","):
+                break
+        self.expect("punct", ")")
+        return params
+
+    def parse_if(self):
+        self.expect("kw", "if")
+        self.expect("punct", "(")
+        cond = self.parse_expr()
+        self.expect("punct", ")")
+        then = self.parse_stmt()
+        other = None
+        if self.eat("kw", "else"):
+            other = self.parse_stmt()
+        return ("if", cond, then, other)
+
+    def parse_for(self):
+        self.expect("kw", "for")
+        self.expect("punct", "(")
+        # for (const k in obj) | for (init; cond; step)
+        if self.peek().kind == "kw" and self.peek().val in ("const", "let", "var") \
+                and self.peek(2).kind == "kw" and self.peek(2).val in ("in", "of"):
+            self.next()
+            name = self.expect("id").val
+            mode = self.next().val  # in | of
+            obj = self.parse_expr()
+            self.expect("punct", ")")
+            body = self.parse_stmt()
+            return ("forin" if mode == "in" else "forof", name, obj, body)
+        init = None
+        if not self.at("punct", ";"):
+            if self.peek().kind == "kw" and self.peek().val in ("const", "let", "var"):
+                init = self.parse_decl()
+            else:
+                init = ("exprstmt", self.parse_expr())
+        self.expect("punct", ";")
+        cond = None if self.at("punct", ";") else self.parse_expr()
+        self.expect("punct", ";")
+        step = None if self.at("punct", ")") else self.parse_expr()
+        self.expect("punct", ")")
+        body = self.parse_stmt()
+        return ("for", init, cond, step, body)
+
+    # -- expressions ----------------------------------------------------
+    def parse_expr(self):
+        e = self.parse_assign()
+        while self.at("punct", ","):
+            self.next()
+            e = ("seq", e, self.parse_assign())
+        return e
+
+    def _arrow_ahead(self):
+        """At '(' — look ahead for `) =>` to detect an arrow function."""
+        depth = 0
+        j = self.i
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t.kind == "punct" and t.val == "(":
+                depth += 1
+            elif t.kind == "punct" and t.val == ")":
+                depth -= 1
+                if depth == 0:
+                    nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
+                    return nxt is not None and nxt.kind == "punct" and nxt.val == "=>"
+            j += 1
+        return False
+
+    def parse_assign(self):
+        # arrow functions: (a, b) => ... | a => ...
+        if self.at("punct", "(") and self._arrow_ahead():
+            params = self.parse_params()
+            self.expect("punct", "=>")
+            body = self.parse_block() if self.at("punct", "{") else ("return", self.parse_assign())
+            return ("arrow", params, body)
+        if self.peek().kind == "id" and self.peek(1).kind == "punct" and self.peek(1).val == "=>":
+            params = [self.next().val]
+            self.expect("punct", "=>")
+            body = self.parse_block() if self.at("punct", "{") else ("return", self.parse_assign())
+            return ("arrow", params, body)
+        left = self.parse_ternary()
+        t = self.peek()
+        if t.kind == "punct" and t.val in ("=", "+=", "-=", "*=", "/=", "%="):
+            self.next()
+            right = self.parse_assign()
+            return ("assign", t.val, left, right)
+        return left
+
+    def parse_ternary(self):
+        cond = self.parse_binary(0)
+        if self.eat("punct", "?"):
+            a = self.parse_assign()
+            self.expect("punct", ":")
+            b = self.parse_assign()
+            return ("ternary", cond, a, b)
+        return cond
+
+    _BIN_LEVELS = [
+        ["||"], ["&&"],
+        ["===", "!==", "==", "!="],
+        ["<", ">", "<=", ">="],
+        ["+", "-"],
+        ["*", "/", "%"],
+    ]
+
+    def parse_binary(self, lvl):
+        if lvl >= len(self._BIN_LEVELS):
+            return self.parse_unary()
+        left = self.parse_binary(lvl + 1)
+        while self.peek().kind == "punct" and self.peek().val in self._BIN_LEVELS[lvl]:
+            op = self.next().val
+            right = self.parse_binary(lvl + 1)
+            left = ("bin", op, left, right)
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.kind == "punct" and t.val in ("!", "-", "+"):
+            self.next()
+            return ("unary", t.val, self.parse_unary())
+        if t.kind == "kw" and t.val == "typeof":
+            self.next()
+            return ("typeof", self.parse_unary())
+        if t.kind == "kw" and t.val == "new":
+            self.next()
+            callee = self.parse_postfix(no_call=True)
+            args = []
+            if self.at("punct", "("):
+                args = self.parse_args()
+            return ("new", callee, args)
+        return self.parse_postfix()
+
+    def parse_args(self):
+        self.expect("punct", "(")
+        args = []
+        while not self.at("punct", ")"):
+            args.append(self.parse_assign())
+            if not self.eat("punct", ","):
+                break
+        self.expect("punct", ")")
+        return args
+
+    def parse_postfix(self, no_call=False):
+        e = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t.kind == "punct" and t.val == ".":
+                self.next()
+                name = self.next()
+                if name.kind not in ("id", "kw"):
+                    raise SyntaxError(f"bad member name {name!r}")
+                e = ("member", e, name.val)
+            elif t.kind == "punct" and t.val == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("punct", "]")
+                e = ("index", e, idx)
+            elif t.kind == "punct" and t.val == "(" and not no_call:
+                e = ("call", e, self.parse_args())
+            elif t.kind == "punct" and t.val in ("++", "--"):
+                self.next()
+                e = ("postfix", t.val, e)
+            else:
+                return e
+
+    def parse_primary(self):
+        t = self.next()
+        if t.kind == "num":
+            return ("lit", t.val)
+        if t.kind == "str":
+            return ("lit", t.val)
+        if t.kind == "template":
+            parts = []
+            for kind, payload in t.val:
+                if kind == "str":
+                    parts.append(("str", payload))
+                else:
+                    sub = Parser(tokenize(payload))
+                    parts.append(("expr", sub.parse_expr()))
+            return ("template", parts)
+        if t.kind == "kw":
+            if t.val == "null":
+                return ("lit", None)
+            if t.val == "true":
+                return ("lit", True)
+            if t.val == "false":
+                return ("lit", False)
+            if t.val == "undefined":
+                return ("lit", UNDEF)
+            if t.val == "function":  # function expression
+                name = self.eat("id")
+                params = self.parse_params()
+                body = self.parse_block()
+                return ("funcexpr", name.val if name else None, params, body)
+            raise SyntaxError(f"unexpected keyword {t.val!r}")
+        if t.kind == "id":
+            return ("name", t.val)
+        if t.kind == "punct":
+            if t.val == "(":
+                e = self.parse_expr()
+                self.expect("punct", ")")
+                return e
+            if t.val == "[":
+                items = []
+                while not self.at("punct", "]"):
+                    items.append(self.parse_assign())
+                    if not self.eat("punct", ","):
+                        break
+                self.expect("punct", "]")
+                return ("array", items)
+            if t.val == "{":
+                props = []
+                while not self.at("punct", "}"):
+                    k = self.next()
+                    if k.kind in ("id", "kw"):
+                        key = k.val
+                    elif k.kind == "str":
+                        key = k.val
+                    elif k.kind == "num":
+                        key = js_str(k.val)
+                    else:
+                        raise SyntaxError(f"bad object key {k!r}")
+                    if self.eat("punct", ":"):
+                        props.append((key, self.parse_assign()))
+                    else:  # shorthand {x}
+                        props.append((key, ("name", key)))
+                    if not self.eat("punct", ","):
+                        break
+                self.expect("punct", "}")
+                return ("object", props)
+        raise SyntaxError(f"unexpected token {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+
+
+class Scope:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent=None):
+        self.vars = {}
+        self.parent = parent
+
+    def get(self, name):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                return s.vars[name]
+            s = s.parent
+        raise NameError(f"{name} is not defined")
+
+    def set(self, name, val):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                s.vars[name] = val
+                return
+            s = s.parent
+        raise NameError(f"assignment to undeclared {name}")
+
+    def declare(self, name, val):
+        self.vars[name] = val
+
+
+class JSFunction:
+    __slots__ = ("params", "body", "scope", "name")
+
+    def __init__(self, params, body, scope, name=None):
+        self.params, self.body, self.scope, self.name = params, body, scope, name
+
+    def __call__(self, *args):
+        s = Scope(self.scope)
+        for i, p in enumerate(self.params):
+            s.declare(p, args[i] if i < len(args) else UNDEF)
+        try:
+            Interp._exec_block_static(self.body, s)
+        except _Return as r:
+            return r.value
+        return UNDEF
+
+
+def _builtins():
+    """Default globals every Interp gets (overridable per instance)."""
+    return {
+        "Math": {"min": lambda *a: min(js_num(x) for x in a),
+                 "max": lambda *a: max(js_num(x) for x in a),
+                 "abs": lambda x: abs(js_num(x)),
+                 "floor": lambda x: math.floor(js_num(x)),
+                 "round": lambda x: math.floor(js_num(x) + 0.5),
+                 "sqrt": lambda x: math.sqrt(js_num(x))},
+        "JSON": {"parse": lambda s: _json.loads(s),
+                 "stringify": lambda v: _json.dumps(_plain(v))},
+        "String": js_str,
+        "Number": js_num,
+        "console": {"log": lambda *a: UNDEF, "error": lambda *a: UNDEF},
+        "window": {},
+    }
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+def get_prop(obj, key):
+    """Property access (obj.key / obj[key]); returns UNDEF when missing."""
+    if obj is UNDEF or obj is None:
+        raise TypeError(f"cannot read properties of {js_str(obj)} (reading {key!r})")
+    if isinstance(obj, dict):
+        if key in obj:
+            return obj[key]
+        return UNDEF
+    if isinstance(obj, list):
+        if key == "length":
+            return len(obj)
+        if key == "push":
+            return lambda *a: (obj.extend(a), len(obj))[1]
+        if key == "map":
+            return lambda f: [f(v, i, obj) if _arity(f) >= 3 else
+                              (f(v, i) if _arity(f) == 2 else f(v))
+                              for i, v in enumerate(obj)]
+        if key == "forEach":
+            def _each(f):
+                for i, v in enumerate(obj):
+                    if _arity(f) >= 2:
+                        f(v, i)
+                    else:
+                        f(v)
+                return UNDEF
+            return _each
+        if key == "filter":
+            return lambda f: [v for i, v in enumerate(obj)
+                              if truthy(f(v, i) if _arity(f) >= 2 else f(v))]
+        if key == "slice":
+            def _slice(start=0, end=None):
+                s = int(start)
+                e = len(obj) if end is None or end is UNDEF else int(end)
+                return obj[s:e]
+            return _slice
+        if key == "join":
+            return lambda sep=",": sep.join(js_str(v) for v in obj)
+        if key == "indexOf":
+            return lambda v: next((i for i, x in enumerate(obj) if js_eq_strict(x, v)), -1)
+        if key == "includes":
+            return lambda v: any(js_eq_strict(x, v) for x in obj)
+        if key == "concat":
+            return lambda *a: obj + [x for arr in a for x in (arr if isinstance(arr, list) else [arr])]
+        # numeric string key
+        try:
+            i = int(key)
+            return obj[i] if 0 <= i < len(obj) else UNDEF
+        except (ValueError, TypeError):
+            return UNDEF
+    if isinstance(obj, str):
+        if key == "length":
+            return len(obj)
+        if key == "padStart":
+            return lambda n, fill=" ": obj.rjust(int(n), js_str(fill)[0] if fill else " ")
+        if key == "padEnd":
+            return lambda n, fill=" ": obj.ljust(int(n), js_str(fill)[0] if fill else " ")
+        if key == "toUpperCase":
+            return lambda: obj.upper()
+        if key == "toLowerCase":
+            return lambda: obj.lower()
+        if key == "split":
+            return lambda sep: obj.split(sep)
+        if key == "startsWith":
+            return lambda p: obj.startswith(p)
+        if key == "includes":
+            return lambda p: p in obj
+        if key == "slice":
+            return lambda s, e=None: obj[int(s):(None if e is None or e is UNDEF else int(e))]
+        if key == "charAt":
+            return lambda i: obj[int(i)] if 0 <= int(i) < len(obj) else ""
+        try:
+            i = int(key)
+            return obj[i] if 0 <= i < len(obj) else UNDEF
+        except (ValueError, TypeError):
+            return UNDEF
+    if isinstance(obj, bool):
+        return UNDEF
+    if isinstance(obj, (int, float)):
+        if key == "toFixed":
+            def _tofixed(d=0):
+                return f"{float(obj):.{int(d)}f}"
+            return _tofixed
+        return UNDEF
+    # host object
+    getter = getattr(obj, "js_get", None)
+    if getter is not None:
+        return getter(key)
+    val = getattr(obj, key, UNDEF)
+    return val
+
+
+def set_prop(obj, key, val):
+    if isinstance(obj, dict):
+        obj[key] = val
+        return
+    if isinstance(obj, list):
+        try:
+            i = int(key)
+        except (ValueError, TypeError):
+            raise TypeError(f"bad array key {key!r}")
+        while len(obj) <= i:
+            obj.append(UNDEF)
+        obj[i] = val
+        return
+    setter = getattr(obj, "js_set", None)
+    if setter is not None:
+        setter(key, val)
+        return
+    setattr(obj, key, val)
+
+
+def _arity(f):
+    if isinstance(f, JSFunction):
+        return len(f.params)
+    try:
+        import inspect
+
+        return len(inspect.signature(f).parameters)
+    except (TypeError, ValueError):
+        return 1
+
+
+class Interp:
+    def __init__(self, global_vars=None):
+        self.globals = Scope()
+        for k, v in _builtins().items():
+            self.globals.declare(k, v)
+        for k, v in (global_vars or {}).items():
+            self.globals.declare(k, v)
+
+    def run(self, src):
+        ast = Parser(tokenize(src)).parse_program()
+        self._exec_block_static(ast, self.globals, new_scope=False)
+
+    # -- statements -----------------------------------------------------
+    @staticmethod
+    def _exec_block_static(node, scope, new_scope=False):
+        assert node[0] == "block"
+        s = Scope(scope) if new_scope else scope
+        # hoist function declarations
+        for st in node[1]:
+            if st[0] == "funcdecl":
+                s.declare(st[1], JSFunction(st[2], st[3], s, st[1]))
+        for st in node[1]:
+            Interp._exec_stmt(st, s)
+
+    @staticmethod
+    def _exec_stmt(st, scope):
+        op = st[0]
+        if op == "block":
+            Interp._exec_block_static(st, scope, new_scope=True)
+        elif op == "exprstmt":
+            Interp._eval(st[1], scope)
+        elif op == "decl":
+            for d in st[2]:
+                if d[0] == "one":
+                    val = UNDEF if d[2] is None else Interp._eval(d[2], scope)
+                    scope.declare(d[1], val)
+                else:  # array destructuring
+                    val = Interp._eval(d[2], scope)
+                    for i, name in enumerate(d[1]):
+                        scope.declare(name, get_prop(val, str(i)) if not isinstance(val, list)
+                                      else (val[i] if i < len(val) else UNDEF))
+        elif op == "funcdecl":
+            pass  # hoisted
+        elif op == "return":
+            raise _Return(UNDEF if st[1] is None else Interp._eval(st[1], scope))
+        elif op == "if":
+            if truthy(Interp._eval(st[1], scope)):
+                Interp._exec_stmt(st[2], scope)
+            elif st[3] is not None:
+                Interp._exec_stmt(st[3], scope)
+        elif op == "forin":
+            obj = Interp._eval(st[2], scope)
+            keys = list(obj.keys()) if isinstance(obj, dict) else [
+                str(i) for i in range(len(obj))] if isinstance(obj, list) else []
+            for k in keys:
+                s = Scope(scope)
+                s.declare(st[1], k)
+                try:
+                    Interp._exec_stmt(st[3], s)
+                except _Continue:
+                    continue
+                except _Break:
+                    break
+        elif op == "forof":
+            obj = Interp._eval(st[2], scope)
+            for v in list(obj):
+                s = Scope(scope)
+                s.declare(st[1], v)
+                try:
+                    Interp._exec_stmt(st[3], s)
+                except _Continue:
+                    continue
+                except _Break:
+                    break
+        elif op == "for":
+            s = Scope(scope)
+            if st[1] is not None:
+                Interp._exec_stmt(st[1], s)
+            while st[2] is None or truthy(Interp._eval(st[2], s)):
+                try:
+                    Interp._exec_stmt(st[4], s)
+                except _Continue:
+                    pass
+                except _Break:
+                    break
+                if st[3] is not None:
+                    Interp._eval(st[3], s)
+        elif op == "while":
+            while truthy(Interp._eval(st[1], scope)):
+                try:
+                    Interp._exec_stmt(st[2], scope)
+                except _Continue:
+                    continue
+                except _Break:
+                    break
+        elif op == "break":
+            raise _Break()
+        elif op == "continue":
+            raise _Continue()
+        elif op == "empty":
+            pass
+        else:
+            raise RuntimeError(f"unknown statement {op}")
+
+    # -- expressions ----------------------------------------------------
+    @staticmethod
+    def _eval(e, scope):
+        op = e[0]
+        if op == "lit":
+            return e[1]
+        if op == "name":
+            return scope.get(e[1])
+        if op == "template":
+            out = []
+            for kind, payload in e[1]:
+                out.append(payload if kind == "str" else js_str(Interp._eval(payload, scope)))
+            return "".join(out)
+        if op == "array":
+            return [Interp._eval(x, scope) for x in e[1]]
+        if op == "object":
+            return {k: Interp._eval(v, scope) for k, v in e[1]}
+        if op == "member":
+            return get_prop(Interp._eval(e[1], scope), e[2])
+        if op == "index":
+            obj = Interp._eval(e[1], scope)
+            key = Interp._eval(e[2], scope)
+            if isinstance(obj, list):
+                if isinstance(key, bool) or not isinstance(key, (int, float)):
+                    return get_prop(obj, js_key(key))
+                i = int(key)
+                return obj[i] if 0 <= i < len(obj) else UNDEF
+            return get_prop(obj, js_key(key))
+        if op == "call":
+            callee = e[1]
+            if callee[0] == "member":
+                obj = Interp._eval(callee[1], scope)
+                fn = get_prop(obj, callee[2])
+            elif callee[0] == "index":
+                obj = Interp._eval(callee[1], scope)
+                fn = get_prop(obj, js_key(Interp._eval(callee[2], scope)))
+            else:
+                fn = Interp._eval(callee, scope)
+            if fn is UNDEF or fn is None:
+                raise TypeError(f"{_callee_name(callee)} is not a function")
+            args = [Interp._eval(a, scope) for a in e[2]]
+            return fn(*args)
+        if op == "new":
+            cls = Interp._eval(e[1], scope)
+            args = [Interp._eval(a, scope) for a in e[2]]
+            return cls(*args)
+        if op == "arrow" or op == "funcexpr":
+            if op == "arrow":
+                return JSFunction(e[1], e[2] if e[2][0] == "block" else ("block", [e[2]]), scope)
+            return JSFunction(e[2], e[3], scope, e[1])
+        if op == "ternary":
+            return (Interp._eval(e[2], scope) if truthy(Interp._eval(e[1], scope))
+                    else Interp._eval(e[3], scope))
+        if op == "bin":
+            o = e[1]
+            if o == "&&":
+                left = Interp._eval(e[2], scope)
+                return Interp._eval(e[3], scope) if truthy(left) else left
+            if o == "||":
+                left = Interp._eval(e[2], scope)
+                return left if truthy(left) else Interp._eval(e[3], scope)
+            a = Interp._eval(e[2], scope)
+            b = Interp._eval(e[3], scope)
+            if o == "+":
+                return js_add(a, b)
+            if o == "-":
+                return js_num(a) - js_num(b)
+            if o == "*":
+                return js_num(a) * js_num(b)
+            if o == "/":
+                bb = js_num(b)
+                aa = js_num(a)
+                if bb == 0:
+                    return float("nan") if aa == 0 else math.copysign(float("inf"), aa * (1 if bb >= 0 else -1))
+                return aa / bb
+            if o == "%":
+                aa, bb = js_num(a), js_num(b)
+                if bb == 0:
+                    return float("nan")
+                return math.fmod(aa, bb)
+            if o == "===":
+                return js_eq_strict(a, b)
+            if o == "!==":
+                return not js_eq_strict(a, b)
+            if o == "==":  # loose: numbers/strings coerce; else strict-ish
+                if isinstance(a, (int, float)) and isinstance(b, str):
+                    return float(a) == js_num(b)
+                if isinstance(a, str) and isinstance(b, (int, float)):
+                    return js_num(a) == float(b)
+                if (a is None or a is UNDEF) and (b is None or b is UNDEF):
+                    return True
+                return js_eq_strict(a, b)
+            if o == "!=":
+                if (a is None or a is UNDEF) and (b is None or b is UNDEF):
+                    return False
+                return not js_eq_strict(a, b)
+            if o in ("<", ">", "<=", ">="):
+                if isinstance(a, str) and isinstance(b, str):
+                    pass
+                else:
+                    a, b = js_num(a), js_num(b)
+                if o == "<":
+                    return a < b
+                if o == ">":
+                    return a > b
+                if o == "<=":
+                    return a <= b
+                return a >= b
+        if op == "unary":
+            v = Interp._eval(e[2], scope)
+            if e[1] == "!":
+                return not truthy(v)
+            if e[1] == "-":
+                return -js_num(v)
+            return js_num(v)
+        if op == "typeof":
+            try:
+                v = Interp._eval(e[1], scope)
+            except NameError:
+                return "undefined"
+            if v is UNDEF:
+                return "undefined"
+            if v is None:
+                return "object"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if callable(v):
+                return "function"
+            return "object"
+        if op == "postfix":
+            old = js_num(Interp._eval(e[2], scope))
+            new = old + (1 if e[1] == "++" else -1)
+            Interp._assign_to(e[2], new, scope)
+            return old
+        if op == "assign":
+            o = e[1]
+            if o == "=":
+                val = Interp._eval(e[3], scope)
+            else:
+                cur = Interp._eval(e[2], scope)
+                rhs = Interp._eval(e[3], scope)
+                if o == "+=":
+                    val = js_add(cur, rhs)
+                elif o == "-=":
+                    val = js_num(cur) - js_num(rhs)
+                elif o == "*=":
+                    val = js_num(cur) * js_num(rhs)
+                elif o == "/=":
+                    val = js_num(cur) / js_num(rhs)
+                else:
+                    val = math.fmod(js_num(cur), js_num(rhs))
+            Interp._assign_to(e[2], val, scope)
+            return val
+        if op == "seq":
+            Interp._eval(e[1], scope)
+            return Interp._eval(e[2], scope)
+        raise RuntimeError(f"unknown expression {op}")
+
+    @staticmethod
+    def _assign_to(target, val, scope):
+        if target[0] == "name":
+            scope.set(target[1], val)
+        elif target[0] == "member":
+            set_prop(Interp._eval(target[1], scope), target[2], val)
+        elif target[0] == "index":
+            obj = Interp._eval(target[1], scope)
+            key = Interp._eval(target[2], scope)
+            if isinstance(obj, list) and isinstance(key, (int, float)) and not isinstance(key, bool):
+                i = int(key)
+                while len(obj) <= i:
+                    obj.append(UNDEF)
+                obj[i] = val
+            else:
+                set_prop(obj, js_key(key), val)
+        else:
+            raise SyntaxError(f"invalid assignment target {target[0]}")
+
+
+def _callee_name(callee):
+    if callee[0] == "name":
+        return callee[1]
+    if callee[0] == "member":
+        return f".{callee[2]}"
+    return "<expr>"
+
+
+# ---------------------------------------------------------------------------
+# DOM
+
+
+class Style:
+    """element.style — arbitrary property bag."""
+
+    def __init__(self):
+        self.__dict__["_props"] = {}
+
+    def js_get(self, key):
+        return self._props.get(key, "")
+
+    def js_set(self, key, val):
+        self._props[key] = val
+
+    def __getattr__(self, key):
+        return self._props.get(key, "")
+
+    def __setattr__(self, key, val):
+        self._props[key] = val
+
+
+class TextNode:
+    def __init__(self, text):
+        self.textContent = js_str(text)
+        self.tag = "#text"
+        self.children = []
+
+
+class Element:
+    def __init__(self, tag, ns=None):
+        self.__dict__["tag"] = tag.lower()
+        self.__dict__["ns"] = ns
+        self.__dict__["attrs"] = {}
+        self.__dict__["children"] = []
+        self.__dict__["style"] = Style()
+        self.__dict__["_text"] = ""
+        self.__dict__["_extra"] = {}
+
+    # -- DOM API --------------------------------------------------------
+    def setAttribute(self, k, v):
+        self.attrs[js_str(k)] = v
+        return UNDEF
+
+    def getAttribute(self, k):
+        return self.attrs.get(js_str(k), None)
+
+    def appendChild(self, child):
+        self.children.append(child)
+        return child
+
+    # textContent / innerHTML / className via js_get/js_set
+    def js_get(self, key):
+        if key == "textContent":
+            out = [self._text]
+            for c in self.children:
+                out.append(c.textContent if isinstance(c, TextNode) else c.js_get("textContent"))
+            return "".join(out)
+        if key == "innerHTML":
+            return ""  # never read by the client
+        if key == "className":
+            return self.attrs.get("class", "")
+        if key == "id":
+            return self.attrs.get("id", "")
+        if key in ("setAttribute", "getAttribute", "appendChild"):
+            return getattr(self, key)
+        if key in ("style", "tag", "children", "attrs"):
+            return self.__dict__[key]
+        if key == "title":
+            return self._extra.get("title", "")
+        return self._extra.get(key, UNDEF)
+
+    def js_set(self, key, val):
+        if key == "textContent":
+            self.__dict__["_text"] = js_str(val)
+            self.__dict__["children"] = []
+        elif key == "innerHTML":
+            if js_str(val) == "":
+                self.__dict__["children"] = []
+                self.__dict__["_text"] = ""
+            else:
+                raise NotImplementedError("innerHTML assignment of markup")
+        elif key == "className":
+            self.attrs["class"] = js_str(val)
+        else:
+            self._extra[key] = val
+
+    # -- test-side helpers (not exposed to JS) ----------------------------
+    def walk(self):
+        yield self
+        for c in self.children:
+            if isinstance(c, Element):
+                yield from c.walk()
+
+    def classes(self):
+        return js_str(self.attrs.get("class", "")).split()
+
+    def query(self, selector):
+        """The tiny selector subset the E2E probes use:
+        '#id', 'tag.cls', '.cls', 'tag', with descendant combinators."""
+        parts = selector.split()
+        matches = [self]
+        for part in parts:
+            nxt = []
+            m = re.match(r"^(#)?([A-Za-z0-9_-]*)(?:\.([A-Za-z0-9_-]+))?$", part)
+            if not m:
+                raise ValueError(f"unsupported selector {part!r}")
+            is_id, name, cls = m.groups()
+            for root in matches:
+                for el in root.walk():
+                    if el is root:
+                        continue
+                    if is_id:
+                        if el.attrs.get("id") == name:
+                            nxt.append(el)
+                    else:
+                        if name and el.tag != name.lower():
+                            continue
+                        if cls and cls not in el.classes():
+                            continue
+                        nxt.append(el)
+            matches = nxt
+        return matches
+
+    def get_by_id(self, eid):
+        for el in self.walk():
+            if el.attrs.get("id") == eid:
+                return el
+        return None
+
+
+class Document:
+    def __init__(self, root):
+        self.root = root
+
+    def getElementById(self, eid):
+        el = self.root.get_by_id(js_str(eid))
+        return el if el is not None else None
+
+    def createElementNS(self, ns, tag):
+        return Element(tag, ns=ns)
+
+    def createElement(self, tag):
+        return Element(tag)
+
+    def createTextNode(self, text):
+        return TextNode(text)
+
+    def js_get(self, key):
+        return getattr(self, key, UNDEF)
+
+
+class _PageHTMLParser:
+    """Build the Element tree from the page's real HTML and collect the
+    inline <script> source."""
+
+    def __init__(self, html):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.stack = [Element("#document")]
+                self.script = []
+                self._in_script = False
+
+            def handle_starttag(self, tag, attrs):
+                el = Element(tag)
+                for k, v in attrs:
+                    el.attrs[k] = v if v is not None else ""
+                self.stack[-1].children.append(el)
+                if tag not in ("meta", "br", "img", "link", "input", "hr"):
+                    self.stack.append(el)
+                if tag == "script":
+                    self._in_script = True
+
+            def handle_endtag(self, tag):
+                if tag == "script":
+                    self._in_script = False
+                for i in range(len(self.stack) - 1, 0, -1):
+                    if self.stack[i].tag == tag:
+                        del self.stack[i:]
+                        break
+
+            def handle_data(self, data):
+                if self._in_script:
+                    self.script.append(data)
+                elif data.strip():
+                    self.stack[-1].children.append(TextNode(data))
+
+        p = P()
+        p.feed(html)
+        outer.root = p.stack[0]
+        outer.script = "".join(p.script)
+
+
+# ---------------------------------------------------------------------------
+# page runner
+
+
+class MiniJSPage:
+    """Load the dashboard page HTML and execute its script.
+
+    ``ws_factory(address)`` must return an object with an optional
+    ``pump`` hook; the page script assigns ``onmessage``/``onclose`` to
+    it.  Deliver a frame by calling ``page.deliver(json_string)`` (which
+    invokes the page's onmessage), or use :meth:`pump` with a live
+    render/ws.py WsClient wired in by the caller."""
+
+    def __init__(self, html, ws_factory=None):
+        parsed = _PageHTMLParser(html)
+        self.root = parsed.root
+        self.document = Document(parsed.root)
+        self.sockets = []
+        self.timeouts = []
+
+        outer = self
+
+        class WebSocket:
+            def __init__(self, address):
+                self.address = js_str(address)
+                self.onmessage = None
+                self.onclose = None
+                self.transport = ws_factory(self.address) if ws_factory else None
+                outer.sockets.append(self)
+
+            def js_get(self, key):
+                return getattr(self, key, UNDEF)
+
+            def js_set(self, key, val):
+                setattr(self, key, val)
+
+        def _set_timeout(fn, ms):
+            outer.timeouts.append((fn, ms))
+            return len(outer.timeouts)
+
+        self.interp = Interp({
+            "document": self.document,
+            "WebSocket": WebSocket,
+            "setTimeout": _set_timeout,
+        })
+        self.interp.run(parsed.script)
+
+    # -- frame delivery ---------------------------------------------------
+    def deliver(self, message: str):
+        """Invoke the page's ws.onmessage with a frame payload."""
+        assert self.sockets, "page never opened a WebSocket"
+        ws = self.sockets[-1]
+        assert ws.onmessage is not None, "page never assigned onmessage"
+        ws.onmessage({"data": message})
+
+    # -- probe helpers ------------------------------------------------------
+    def query(self, selector):
+        return self.root.query(selector)
+
+    def text(self, eid):
+        el = self.root.get_by_id(eid)
+        return el.js_get("textContent") if el is not None else None
+
+
+def _plain(v):
+    if v is UNDEF:
+        return None
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    return v

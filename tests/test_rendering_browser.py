@@ -2,26 +2,38 @@
 rendering/py/rendering.py:12-165 driving rendering/js/devices.js in a
 real browser).
 
-Loads the generated page in a headless browser against LIVE HTTP+WS
-servers, steps a real ANM6Easy env, and asserts the DOM shows the right
-element counts and per-step updated values — the dashboard JS actually
-EXECUTES.
+Loads the generated page against LIVE HTTP+WS servers, steps a real
+ANM6Easy env, and asserts the DOM shows the right element counts and
+per-step updated values — the dashboard JS actually EXECUTES.
 
-This image has no browser or JS runtime (no chromium/chrome/firefox
-binary, no node/bun/deno, no playwright/selenium package), so the test
-auto-skips here; it runs the moment the environment gains either
-``playwright`` (+ its chromium) or ``selenium`` + a Chrome/Chromium
-binary — no code change needed.  The in-image substitute gates (JS lexer,
-DOM-id, message-schema, call-graph checks) live in
-tests/test_rendering_client_js.py.
+Three backends, best available first:
+
+1. ``playwright`` + its chromium (if installed);
+2. ``selenium`` + a Chrome/Chromium binary (if installed);
+3. the in-repo minimal JS interpreter (``tests/minijs.py``) — always
+   available.  It fetches the page over the real HTTP server, executes
+   the page's actual ``<script>`` (tokenizer → parser → evaluator, no
+   regex gating), opens a REAL WebSocket connection to the live
+   WsServer (render/ws.py WsClient → RFC 6455 frames over TCP), and
+   feeds every received frame to the page's own ``onmessage`` handler.
+   Everything except the pixel rasterization is the production path.
+
+The static JS gates (lexer, DOM-id, message-schema, call-graph checks)
+live in tests/test_rendering_client_js.py.
 """
 
 import json
 import shutil
+import socket
 import time
+import urllib.request
 
 import numpy as np
-import pytest
+
+try:
+    from .minijs import MiniJSPage, js_str
+except ImportError:  # run as a top-level module (pytest rootdir layouts)
+    from minijs import MiniJSPage, js_str
 
 
 def _playwright_chromium():
@@ -53,12 +65,6 @@ def _selenium_chrome():
 _PW = _playwright_chromium()
 _SE = _selenium_chrome()
 
-pytestmark = pytest.mark.skipif(
-    _PW is None and _SE is None,
-    reason="no browser available (playwright or selenium+chrome required); "
-    "static JS gates cover this image — see test_rendering_client_js.py",
-)
-
 _PROBE = """
 JSON.stringify({
   title: document.getElementById('title').textContent,
@@ -68,8 +74,8 @@ JSON.stringify({
   gauges: document.querySelectorAll('#devpanel .track .fill').length,
   clock: document.getElementById('clock').textContent,
   eloss: document.getElementById('eloss').textContent,
-  vlabels: Array.from(document.querySelectorAll('#net text.lbl'))
-    .map(e => e.textContent).filter(t => /^[01]\\./.test(t)),
+  vlabels: Array.from(document.querySelectorAll('#net text.vlbl'))
+    .map(e => e.textContent).filter(t => t.length > 0),
   collapsed: getComputedStyle(document.getElementById('collapsed')).display,
 })
 """
@@ -80,13 +86,14 @@ class _Page:
 
     def __init__(self):
         self._ctx = None
+        self._mini = None
 
     def __enter__(self):
         if _PW is not None:
             self._pw = _PW().__enter__()
             self._browser = self._pw.chromium.launch()
             self._page = self._browser.new_page()
-        else:
+        elif _SE is not None:
             webdriver, binary = _SE
             opts = webdriver.ChromeOptions()
             opts.binary_location = binary
@@ -99,27 +106,88 @@ class _Page:
         if _PW is not None:
             self._browser.close()
             self._pw.__exit__(*exc)
-        else:
+        elif _SE is not None:
             self._driver.quit()
+        elif self._mini is not None and self._mini.client is not None:
+            self._mini.client.close()
 
     def goto(self, url):
         if _PW is not None:
             self._page.goto(url)
-        else:
+        elif _SE is not None:
             self._driver.get(url)
+        else:
+            self._mini = _MiniJSDriver(url)
 
     def eval(self, js):
         if _PW is not None:
             return self._page.evaluate(js)
-        return self._driver.execute_script("return " + js)
+        if _SE is not None:
+            return self._driver.execute_script("return " + js)
+        raise RuntimeError("eval is browser-only")
 
     def probe(self, timeout=10.0):
         deadline = time.time() + timeout
         while True:
-            out = json.loads(self.eval(_PROBE))
+            if self._mini is not None:
+                self._mini.pump(0.5)
+                out = self._mini.probe()
+            else:
+                out = json.loads(self.eval(_PROBE))
             if out["buses"] or time.time() > deadline:
                 return out
             time.sleep(0.25)
+
+
+class _MiniJSDriver:
+    """In-process 'browser': real HTTP fetch, real WS connection, the
+    page's own JS executed by tests/minijs.py."""
+
+    def __init__(self, url):
+        html = urllib.request.urlopen(url, timeout=10).read().decode()
+        self.page = MiniJSPage(html)
+        assert self.page.sockets, "page script never opened a WebSocket"
+        from gym_anm_tpu.render.ws import WsClient
+
+        self.client = WsClient(self.page.sockets[-1].address)
+        # short recv timeouts so pump() can poll without blocking
+        self.client.sock._sock.settimeout(0.25)
+
+    def pump(self, seconds=1.0):
+        """Deliver every frame the live server has broadcast so far."""
+        deadline = time.time() + seconds
+        n = 0
+        while time.time() < deadline:
+            try:
+                msg = self.client.recv()
+            except (TimeoutError, socket.timeout):
+                break
+            self.page.deliver(msg)
+            n += 1
+        return n
+
+    def probe(self):
+        page = self.page
+        collapsed = page.root.get_by_id("collapsed")
+        # initial computed display comes from the stylesheet
+        # (#collapsed { display: none }); the inline style only exists
+        # once update() has run.
+        disp = js_str(collapsed.style.display) or "none"
+        return {
+            "title": page.text("title"),
+            "buses": len(page.query("#net circle.bus")),
+            "branches": len(page.query("#net line.branch")),
+            "cards": len(page.query("#devpanel .card")),
+            "gauges": len(page.query("#devpanel .track .fill")),
+            "clock": page.text("clock"),
+            "eloss": page.text("eloss"),
+            "vlabels": [
+                e.js_get("textContent")
+                for e in page.query("#net text.vlbl")
+                if e.js_get("textContent")
+            ],
+            "collapsed": disp,
+        }
 
 
 def test_dashboard_e2e_anm6easy():
@@ -135,10 +203,10 @@ def test_dashboard_e2e_anm6easy():
         with _Page() as page:
             page.goto(env.http_server.address)
             out = page.probe()
-            # Topology: 6 buses, 7 branch lines (ANM6), 7 device cards,
-            # each card with >= 2 gauge fills (P + Q).
+            # Topology: 6 buses, 5 branch lines (networks/anm6.py's radial
+            # feeder), 7 device cards, each with >= 2 gauge fills (P + Q).
             assert out["buses"] == 6, out
-            assert out["branches"] == 7, out
+            assert out["branches"] == 5, out
             assert out["cards"] == 7, out
             assert out["gauges"] >= 14, out
             assert "ANM6Easy" in out["title"] or "gym-anm-tpu" in out["title"]
@@ -164,3 +232,74 @@ def test_dashboard_e2e_anm6easy():
     finally:
         rmod.webbrowser.open = orig
         env.close()
+
+
+def test_dashboard_collapse_banner_and_gauges():
+    """Drive the page's update() through edge content: a collapsed
+    network shows the banner; storage SoC and potential-P markers land
+    in the right gauge elements.  Runs on the minijs backend directly
+    (no live env needed — synthetic frames through the real page JS)."""
+    from gym_anm_tpu.render.client import render_page
+
+    page = MiniJSPage(render_page("ws://127.0.0.1:1").decode())
+    init = {
+        "messageLabel": "init",
+        "title": "T",
+        "devType": [-1, 2, 3],
+        "pMax": [10.0, 5.0, 20.0],
+        "qMax": [4.0, 3.0, 10.0],
+        "sRate": [32.0, 18.0],
+        "vMin": [0.95, 0.95, 0.95],
+        "vMax": [1.05, 1.05, 1.05],
+        "socMax": [100.0],
+        "costsRange": [100, 10000],
+        "busIds": [0, 1, 2],
+        "devBus": [1, 1, 2],
+        "branchFrom": [0, 1],
+        "branchTo": [1, 2],
+        "busXY": [[0.0, 0.5], [0.5, 0.5], [1.0, 0.5]],
+    }
+    page.deliver(json.dumps(init))
+    assert len(page.query("#net circle.bus")) == 3
+    assert len(page.query("#devpanel .card")) == 3
+    # the storage card has a third gauge row (SoC)
+    assert len(page.query("#devpanel .track .fill")) == 7  # 3*2 + 1 SoC
+    # the renewable card has a potential-P marker
+    assert len(page.query("#devpanel .track .pot")) == 1
+
+    upd = {
+        "messageLabel": "update",
+        "time": [1, 2, 3, 4],
+        "yearCount": 2,
+        "pInjections": [-8.0, 4.0, -10.0],
+        "qInjections": [-2.0, 1.0, -3.0],
+        "sFlows": [33.0, 9.0],  # first branch OVER its 32 MVA rating
+        "socStorage": [55.0],
+        "pPotential": [5.0],
+        "vMagn": [1.0, 0.90, 1.01],  # bus 1 under-voltage
+        "reward": [0.5, 123.4],
+        "networkCollapsed": True,
+    }
+    page.deliver(json.dumps(upd))
+    assert page.root.get_by_id("collapsed").style.display == "block"
+    assert page.text("clock") == "month 1 day 2  03:04  (+2y)"
+    assert page.text("penalty") == "Penalty: 123.400"
+    # overloaded branch is red, under-voltage bus is red
+    lines = page.query("#net line.branch")
+    assert lines[0].attrs.get("stroke") == "#c0392b"
+    buses = page.query("#net circle.bus")
+    assert buses[1].attrs.get("fill") == "#c0392b"
+    # SoC gauge: 55/100 -> width 55% (JS float math gives
+    # 55.00000000000001 in a real browser too — parse, don't string-match)
+    soc_fill = page.query("#devpanel .track .fill")[-1]
+    assert abs(float(js_str(soc_fill.style.width).rstrip("%")) - 55.0) < 1e-9
+    # potential-P marker at 50 + 5/5*50 = 100%
+    pot = page.query("#devpanel .track .pot")[0]
+    assert float(js_str(pot.style.left).rstrip("%")) == 100.0
+
+    # un-collapse on the next frame
+    upd["networkCollapsed"] = False
+    upd["sFlows"] = [10.0, 9.0]
+    page.deliver(json.dumps(upd))
+    assert page.root.get_by_id("collapsed").style.display == "none"
+    assert lines[0].attrs.get("stroke") != "#c0392b"
