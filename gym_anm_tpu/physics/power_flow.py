@@ -347,9 +347,8 @@ def make_chord_const(Y0re, Y0im, t_bus, dtype=np.float32, x_star=None) -> ChordC
 
 
 def _chord_lane_core(const: ChordConst, dtype, xtol, lim_iter, stall_tol_factor):
-    """Per-lane building blocks of the chord-Newton iteration, shared by the
-    single-lane solver (:func:`chord_solve`) and the batch-compacted path
-    (:func:`chord_solve_batch`).  Returns ``(init, cond, body, epilogue)``:
+    """Per-lane building blocks of the chord-Newton iteration
+    (:func:`chord_solve`).  Returns ``(init, cond, body, epilogue)``:
 
     * ``init(p, q, w_a, w_b, dtf_re, dtf_im, x0) -> (data, carry)`` — fold
       the Woodbury W(a) into the scalar K coefficients and evaluate the
@@ -607,8 +606,7 @@ def _chord_lane_core(const: ChordConst, dtype, xtol, lim_iter, stall_tol_factor)
 
 def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
                 xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
-    """Chord-Newton phase of the load-flow solve (single lane; vmap it —
-    or call :func:`chord_solve_auto`, which compacts the batch tail).
+    """Chord-Newton phase of the load-flow solve (single lane; vmap it).
 
     Parameters
     ----------
@@ -638,130 +636,15 @@ def chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
     return epilogue(data, out)
 
 
-def _select_lanes(act, new, old):
-    """Per-lane select matching JAX's while_loop batching rule."""
-    mask = act.reshape(act.shape + (1,) * (new.ndim - act.ndim))
-    return jnp.where(mask, new, old)
-
-
-def chord_solve_batch(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
-                      xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None,
-                      compact_den=8, compact_min=128):
-    """Batch-level chord solve with STRAGGLER COMPACTION.
-
-    ``vmap(chord_solve)`` pays the WORST lane's iteration count at
-    full-batch cost: each trip of the batched while loop runs the mismatch
-    matmul, trig re-assembly, and Anderson bookkeeping over all B lanes,
-    masked.  On the bench action distribution the active set collapses
-    fast (measured warm at B=2048: ~100% of lanes active through iteration
-    3, ~30% after 5, ~10% after 6, <1% after 8, worst lane ~9-10), so the
-    last ~3 iterations run at full width for a few-percent active set.
-
-    This driver runs the identical per-lane iteration (same
-    `_chord_lane_core` body; values agree to matmul-width rounding — see
-    the core's docstring) in two phases:
-
-    1. full-batch masked iterations while more than ``C = max(compact_min,
-       B // compact_den)`` lanes are active;
-    2. gather the ≤ C active lanes' carries into a [C]-lane buffer
-       (``jnp.nonzero(..., size=C)``; padding repeats lane 0, whose updates
-       are value-identical duplicates), iterate that to completion, and
-       scatter the finished carries back.
-
-    Cold solves (~100% active for most of their ~13 iterations) simply stay
-    in phase 1 until the tail, so the worst case is the old cost plus one
-    gather/scatter.  ``compact_den``/``compact_min`` bound the buffer; B ≤
-    ``compact_min`` (tests, small farms) skips compaction entirely and is
-    then operation-for-operation the plain batched loop.
-    """
-    B = p.shape[0]
-    init, cond, body, epilogue = _chord_lane_core(
-        const, p.dtype, xtol, lim_iter, stall_tol_factor)
-    if x0 is None:
-        data, carry = jax.vmap(
-            lambda *a: init(*a, None))(p, q, w_a, w_b, dtf_re, dtf_im)
-    else:
-        data, carry = jax.vmap(init)(p, q, w_a, w_b, dtf_re, dtf_im, x0)
-    cond_v = jax.vmap(cond)
-    body_v = jax.vmap(body)
-
-    def masked(dat, c):
-        act = cond_v(c)
-        new = body_v(dat, c)
-        return jax.tree.map(partial(_select_lanes, act), new, c)
-
-    C = max(int(compact_min), B // int(compact_den))
-    if C >= B:
-        final = jax.lax.while_loop(
-            lambda c: jnp.any(cond_v(c)), lambda c: masked(data, c), carry)
-    else:
-        phase1 = jax.lax.while_loop(
-            lambda c: jnp.sum(cond_v(c)) > C, lambda c: masked(data, c), carry)
-        idx = jnp.nonzero(cond_v(phase1), size=C, fill_value=0)[0]
-        sub_data = jax.tree.map(lambda a: a[idx], data)
-        sub_carry = jax.tree.map(lambda a: a[idx], phase1)
-        sub_final = jax.lax.while_loop(
-            lambda c: jnp.any(cond_v(c)), lambda c: masked(sub_data, c), sub_carry)
-        final = jax.tree.map(
-            lambda full, sub: full.at[idx].set(sub), phase1, sub_final)
-    return jax.vmap(epilogue)(data, final)
-
-
-# Straggler compaction is OFF by default: the jnp.nonzero(size=C) gather
-# machinery fails TPU compilation at the headline shape (scoped-VMEM OOM
-# in the nonzero reduce-window lowering at B=8192, C=1024 — BENCH_r04),
-# and no on-TPU measurement has ever shown it winning (the step is
-# event-count-bound; see docs/performance.md "Negative results").
-# GYM_ANM_CHORD_COMPACT=1 opts in for A/B experiments; the
-# divisor/minimum mirror chord_solve_batch's keyword defaults.
-_CHORD_COMPACT = os.environ.get("GYM_ANM_CHORD_COMPACT", "0") == "1"
-_CHORD_COMPACT_DEN = int(os.environ.get("GYM_ANM_CHORD_COMPACT_DEN", "8"))
-
-
-def chord_solve_auto(p, q, w_a, w_b, dtf_re, dtf_im, const: ChordConst,
-                     xtol=1e-5, lim_iter=48, stall_tol_factor=10.0, x0=None):
-    """:func:`chord_solve` with a batch-level dispatch hook under vmap.
-
-    Called per lane (as the transition does) it is exactly
-    :func:`chord_solve`; under ``vmap`` a ``custom_vmap`` rule takes over
-    the whole batch.  By default that rule runs the plain batched loop
-    (operation-for-operation ``vmap(chord_solve)``); with
-    ``GYM_ANM_CHORD_COMPACT=1`` it dispatches to
-    :func:`chord_solve_batch`, whose straggler compaction trades the last
-    few full-width iterations for a gather/scatter (A/B experiments only
-    — see the ``_CHORD_COMPACT`` note above).  Lane results agree to f32
-    matmul-width rounding (same per-lane core; the residual contract and
-    acceptance are identical — pinned in tests/test_chord_solver.py), so
-    the acceptance-cliff guard and all parity tolerances are unaffected.
-    """
-    n = const.Y0re.shape[-1] - 1
-    if x0 is None:
-        x0 = jnp.concatenate([jnp.zeros(n, p.dtype), jnp.ones(n, p.dtype)])
-
-    @jax.custom_batching.custom_vmap
-    def _solve(p, q, w_a, w_b, dtf_re, dtf_im, x0):
-        return chord_solve(p, q, w_a, w_b, dtf_re, dtf_im, const,
-                           xtol=xtol, lim_iter=lim_iter,
-                           stall_tol_factor=stall_tol_factor, x0=x0)
-
-    @_solve.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        args = [a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
-                for a, b in zip(args, in_batched)]
-        p, q, w_a, w_b, dtf_re, dtf_im, x0 = args
-        if _CHORD_COMPACT:
-            out = chord_solve_batch(p, q, w_a, w_b, dtf_re, dtf_im, const,
-                                    xtol=xtol, lim_iter=lim_iter,
-                                    stall_tol_factor=stall_tol_factor, x0=x0,
-                                    compact_den=_CHORD_COMPACT_DEN)
-        else:
-            out = jax.vmap(lambda *a: chord_solve(
-                *a[:6], const, xtol=xtol, lim_iter=lim_iter,
-                stall_tol_factor=stall_tol_factor, x0=a[6]))(
-                    p, q, w_a, w_b, dtf_re, dtf_im, x0)
-        return out, tuple(True for _ in out)
-
-    return _solve(p, q, w_a, w_b, dtf_re, dtf_im, x0)
+# A "straggler compaction" batch driver (gather the few still-active
+# lanes into a B/8 buffer for the tail iterations via
+# jnp.nonzero(size=C)) was measured on TPU and DELETED: at C=1024 the
+# headline B=8192 program fails compilation (scoped-VMEM OOM in the
+# nonzero reduce-window lowering, BENCH_r04), and at C=128 it compiles
+# but runs 2.15x SLOWER than the plain batched loop (8.7M vs 18.8M
+# env-steps/s) — the gather/scatter and the second while loop cost far
+# more than the few full-width tail iterations they save on this
+# event-count-bound step.  See docs/performance.md "Negative results".
 
 
 def nr_solve_lazy(ybus_fn, p, q, xtol=1e-5, lim_iter=100, init=None) -> NRResult:

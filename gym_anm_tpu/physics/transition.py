@@ -22,7 +22,7 @@ import numpy as np
 
 from ..specs.network import NetworkSpec
 from .complexops import cmatvec
-from .power_flow import ChordConst, chord_solve_auto, make_chord_const, nr_solve, nr_solve_lazy
+from .power_flow import ChordConst, chord_solve, make_chord_const, nr_solve, nr_solve_lazy
 from .projection import make_box_slopes_projector, make_pair_indices, project_polytope_2d
 from .ybus import build_ybus
 
@@ -575,12 +575,11 @@ def transition(
         else:
             zero = jnp.zeros((), dt)
             dtf_re = dtf_im = dft_re = dft_im = dff_re = dff_im = zero
-        # chord_solve_auto: per-lane here, but under the farm's vmap its
-        # custom_vmap rule dispatches the whole batch to the straggler-
-        # compacting driver (power_flow.chord_solve_batch) — the last few
-        # iterations run on a B/8 buffer instead of the full batch.
-        init = chord_solve_auto(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im,
-                                tb.chord, x0=x_guess)
+        # Per-lane chord solve; the farm's vmap batches the while loop
+        # directly (a straggler-compaction batch dispatch was measured
+        # 2.15x slower on TPU and deleted — power_flow.py round-5 note).
+        init = chord_solve(p_ns, q_ns, dtf_im, dtf_re, dtf_re, dtf_im,
+                           tb.chord, x0=x_guess)
         nr = nr_solve_lazy(ybus_now, p_ns, q_ns, xtol=1e-5, lim_iter=100, init=init)
 
         t_bus = tb.chord.t_bus

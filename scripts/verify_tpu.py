@@ -86,12 +86,14 @@ def acceptance_probe():
     "acceptance cliff").  This probe fails verification instead of
     letting that surface as a silent bench slowdown.
 
-    Probes through chord_solve_auto — the dispatching driver the
-    transition actually routes through under vmap — so the device guard
-    compiles the PRODUCTION solver path, not a bypass (the round-4
-    compile failure shipped precisely because this probe exercised plain
-    chord_solve while production dispatched elsewhere)."""
-    from gym_anm_tpu.physics.power_flow import chord_solve_auto
+    Probes through chord_solve — the solver the transition routes
+    through under vmap — so the device guard compiles the PRODUCTION
+    solver path (the round-4 compile failure shipped because the probe
+    exercised a bypass while production dispatched elsewhere; the
+    compaction dispatch layer has since been measured and deleted, so
+    plain chord_solve IS the production path again and the cold-compile
+    gate compiles the full bench program regardless)."""
+    from gym_anm_tpu.physics.power_flow import chord_solve
     from gym_anm_tpu.vec import VecEnv, make_ieee33_task
 
     env32 = VecEnv(make_ieee33_task(), dtype=jnp.float32)
@@ -103,7 +105,7 @@ def acceptance_probe():
         inv_da = 1.0 / a - 1.0 / tb.chord_a0
         dtf_re = -(tb.chord_y_re) * inv_da
         dtf_im = -(tb.chord_y_im) * inv_da
-        return chord_solve_auto(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
+        return chord_solve(p, q, dtf_im, dtf_re, dtf_re, dtf_im, tb.chord)
 
     solve = jax.jit(jax.vmap(lane))
     ok = True
