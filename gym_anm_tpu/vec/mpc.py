@@ -499,7 +499,7 @@ def make_vec_mpc(
     planning_steps: int = 1,
     rho: float = 1.0,
     rho_eq_factor: float = 1e2,
-    max_iter: int = 200,
+    max_iter: int = 48,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
     dual_stall_limit: int = 100,
@@ -519,18 +519,25 @@ def make_vec_mpc(
     (near-identical) program's solution.
 
     **Real-time iteration**: the controller default is a BOUNDED per-step
-    budget (``max_iter=200``), not solve-to-convergence.  Because the
+    budget (``max_iter=48``), not solve-to-convergence.  Because the
     ADMM state carries across env steps, an un-polished iterate keeps
     converging over the next steps while the plant acts on the current
-    one — and measured full-day closed-loop reward is FLAT in the budget
-    (ANM6Easy N=1 constant, B=256 × 96 steps: −0.597/−0.598/−0.601/−0.593
-    at max_iter 4000/200/96/48) or strictly BETTER with small budgets
-    (N=8 perfect, B=64: −0.382 at 4000 vs −0.307 at 96 — unbounded
-    per-step polish chases degenerate vertices).  The batched farm pays
-    the worst lane each step, so the budget also caps step time.  Pass a
-    large ``max_iter`` for solve-to-convergence behavior; one-shot LP
-    solves via :func:`solve_dcopf`/:func:`make_vec_dcopf` keep their own
-    4000 default.
+    one.  Measured full-day closed-loop reward (round-5 TPU sweep,
+    B=256 × 96 steps, ANM6Easy N=1 constant) is FLAT from budget 16 up —
+    −0.594/−0.594/−0.600/−0.593/−0.601/−0.598 at max_iter
+    16/24/32/48/96/200 — with a quality CLIFF at 8 (−0.648); budget 48
+    sits 6× above the cliff while tripling farm throughput vs the old
+    200 default (workload-4: 8.0M vs 2.7M env-steps/s at B=8192).  On
+    IEEE33-renewable N=1 the budget is quality-neutral (−0.00873 at both
+    48 and 200), and at N=8 perfect small budgets are strictly BETTER
+    (−0.270 at 48 vs −0.342 at 200 — unbounded per-step polish chases
+    degenerate vertices).  The batched farm pays the worst lane each
+    step, so the budget also caps step time.  Pass a large ``max_iter``
+    for solve-to-convergence behavior; one-shot LP solves via
+    :func:`solve_dcopf`/:func:`make_vec_dcopf` keep their own 4000
+    default.  ``scripts/exp_rti_budget.py`` reproduces the curve;
+    tests/test_vec_mpc.py pins budget-48 quality against a
+    high-budget rollout.
 
     ``forecast_fn(state) -> (P_load, P_pot)`` (p.u.; ``[n_load(, N)]`` /
     ``[n_gen_ns(, N)]``) overrides the constant forecast — the hook

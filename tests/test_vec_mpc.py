@@ -609,3 +609,42 @@ def test_shift_warm_is_exact_stage_shift(host_problem):
     dc1 = make_vec_dcopf(agent1.structure, dtype=jnp.float32)
     w = init_warm(dc1)
     assert make_shift_warm(dc1, agent1.structure, 1)(w) is w
+
+
+def test_rti_budget_default_quality_floor():
+    """The default real-time-iteration budget (max_iter=48) must stay at
+    solve-to-convergence closed-loop quality.  The round-5 TPU sweep
+    (scripts/exp_rti_budget.py) measured full-day reward FLAT from
+    budget 16 up with a CLIFF at 8 (-0.648 vs -0.593); this pins the
+    shipped default well clear of that cliff on a full profile day so a
+    budget/solver change that quietly degrades the closed loop fails
+    here instead of in a user's farm."""
+    env = VecEnv(make_anm6easy_task(), dtype=jnp.float32)
+    B, steps = 8, 96  # one full profile day
+
+    def rollout(ctrl):
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        state, obs = jax.jit(jax.vmap(env.reset))(keys)
+        carry = jax.vmap(ctrl.init_carry)(keys)
+
+        def run(state, obs, carry):
+            def body(sc, t):
+                st, obs, carry = sc
+                k = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), t), B)
+                a, carry = jax.vmap(ctrl.act)(k, st, obs, carry)
+                st, obs, r, d, _ = env.step_autoreset_batch(st, a)
+                return (st, obs, carry), r.mean()
+
+            (_, _, _), rs = jax.lax.scan(body, (state, obs, carry), jnp.arange(steps))
+            return rs
+
+        return float(jnp.mean(jax.jit(run)(state, obs, carry)))
+
+    kw = dict(gamma=0.995, safety_margin=0.96, planning_steps=1)
+    r_default = rollout(make_vec_mpc(env, **kw))  # max_iter default (48)
+    r_converged = rollout(make_vec_mpc(env, max_iter=800, **kw))
+    # full-day budget sweep noise band measured at ~±0.005; 0.05 margin
+    assert r_default >= r_converged - 0.05, (r_default, r_converged)
+    # and the absolute level is the informed-controller plateau, not the
+    # idle/random collapse regime
+    assert r_default > -1.0, r_default
