@@ -46,14 +46,24 @@ def build_rollout(env, ctrl, batch, n_steps):
 
 
 def throughput(env, ctrl, batch=8192, n_steps=64, n_reps=3):
+    # fetch-ended differenced protocol (bench._time_reps rationale:
+    # block_until_ready does not force on axon; the marginal rate
+    # cancels dispatch latency + fetch RTT)
     run, state, obs, carry = build_rollout(env, ctrl, batch, n_steps)
     state, obs, carry, rs = run(state, obs, carry, 0)
-    jax.block_until_ready(rs)
+    float(rs.sum())
+    t0 = time.perf_counter()
+    state, obs, carry, rs = run(state, obs, carry, 1)
+    float(rs.sum())
+    t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     for rep in range(n_reps):
-        state, obs, carry, rs = run(state, obs, carry, rep + 1)
-    jax.block_until_ready(rs)
-    return batch * n_steps * n_reps / (time.perf_counter() - t0)
+        state, obs, carry, rs = run(state, obs, carry, rep + 2)
+    float(rs.sum())
+    tn = time.perf_counter() - t0
+    if n_reps > 1 and tn > t1 > 0:
+        return batch * n_steps * (n_reps - 1) / (tn - t1)
+    return batch * n_steps * n_reps / tn
 
 
 def quality(env, ctrl, batch=256, n_steps=96):
