@@ -377,6 +377,30 @@ def _chord_lane_core(const: ChordConst, dtype, xtol, lim_iter, stall_tol_factor)
     H = jnp.asarray(const.H, dtype)
     C = jnp.asarray(const.C, dtype)
     n = Y0re.shape[-1] - 1
+    # Polynomial sin/cos for the f32 iteration: XLA's native trig costs
+    # ~7.35 µs per [8192, 32] sin+cos on the v5e while this fused Taylor
+    # form costs ~0.65 µs (measured round 5, forced-fetch protocol) — and
+    # the trig re-assembly was the single fattest kernel of the chord
+    # body (census: ~7 µs of a ~29 µs iteration).  For |θ| ≤ 0.5 rad the
+    # truncation error (sin ≤ 5e-9, cos ≤ 1e-7) sits at the f32 rounding
+    # floor, so iterates, the residual, and the acceptance behavior are
+    # unchanged to solver noise.  Validity is ENFORCED, not assumed: the
+    # epilogue flat-resets any lane whose final |θ| exceeds the radius
+    # (below), handing it to the exact-NR fallback whose native trig owns
+    # the out-of-range regime.  Distribution-feeder angles are ≪ 0.1 rad,
+    # so the bench distribution never triggers the guard (acceptance
+    # stays total — the cliff tests).  f64 instantiations keep native
+    # trig: that tier's contract is exactness, not speed.
+    fast_trig = np.dtype(dtype) == np.float32
+    trig_radius = 0.5
+
+    def sincos(t):
+        if not fast_trig:
+            return jnp.sin(t), jnp.cos(t)
+        t2 = t * t
+        s = t * (1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0 - t2 * (1.0 / 5040.0))))
+        c = 1.0 + t2 * (-0.5 + t2 * (1.0 / 24.0 - t2 * (1.0 / 720.0)))
+        return s, c
     t = const.t_bus
     # One-hot row for the ΔY tap correction: a fused multiply-add in the
     # mismatch instead of a dynamic-update-slice per iteration (scatters
@@ -391,7 +415,11 @@ def _chord_lane_core(const: ChordConst, dtype, xtol, lim_iter, stall_tol_factor)
 
     def mismatch(x, p, q, dtf_re, dtf_im):
         theta, vm = x[:n], x[n:]
-        v_re, v_im = _assemble_v(theta, vm, dtype)
+        sn, cs = sincos(theta)
+        one = jnp.ones((1,), dtype=dtype)
+        zero = jnp.zeros((1,), dtype=dtype)
+        v_re = jnp.concatenate([one, vm * cs])
+        v_im = jnp.concatenate([zero, vm * sn])
         # HIGHEST precision: this is the convergence criterion (see
         # _mismatch); the chord UPDATE matmuls below stay at the fast
         # default — they only shape the iteration path, not its fixed
@@ -571,6 +599,16 @@ def _chord_lane_core(const: ChordConst, dtype, xtol, lim_iter, stall_tol_factor)
         # trace time.  Accepted lanes are never reset (their x is the
         # answer).
         finite = jnp.logical_and(jnp.isfinite(diff), jnp.all(jnp.isfinite(x)))
+        # Polynomial-trig validity guard: beyond |θ| ≤ trig_radius the
+        # fast sincos (and hence F/diff) is untrustworthy, so the lane is
+        # treated exactly like a non-finite iterate — never accepted, and
+        # flat-reset below so the NR fallback re-solves it with native
+        # trig from a state whose residual (the analytic row sums) is
+        # exact.  The guard folds into `finite` because the downstream
+        # logic is identical.
+        if fast_trig:
+            finite = jnp.logical_and(
+                finite, jnp.max(jnp.abs(x[:n])) <= trig_radius)
         rs_re = jnp.sum(Y0re, axis=-1) + e_t * dtf_re
         rs_im = jnp.sum(Y0im, axis=-1) + e_t * dtf_im
         F_flat = jnp.concatenate([rs_re[1:] - p, -rs_im[1:] - q])
