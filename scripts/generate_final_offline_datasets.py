@@ -219,7 +219,7 @@ def run_vec(episodes, lanes, out_dir):
         env, suite, jax.random.PRNGKey(0), batch=n * lanes, steps=steps,
         assignment=assignment,
     )
-    jax.block_until_ready(rews)
+    jax.device_get(rews)  # force: block_until_ready does not wait on axon
     dt = time.perf_counter() - t0
     total_rate = n * lanes * steps / dt
     print(f"  collected all {n} controllers in {dt:.1f}s "

@@ -42,11 +42,11 @@ def time_scan(env, batch, n_steps=32, n_reps=3, autoreset=True):
 
     run_jit = jax.jit(run, donate_argnums=(0,))
     state, obs, total = run_jit(state, obs, 0)
-    jax.block_until_ready(total)
+    float(total)  # force: block_until_ready does not wait on axon (CLAUDE.md)
     t0 = time.perf_counter()
     for rep in range(n_reps):
         state, obs, total = run_jit(state, obs, rep + 1)
-    jax.block_until_ready(total)
+    float(total)  # force completion of the last rep
     elapsed = time.perf_counter() - t0
     return batch * n_steps * n_reps / elapsed
 

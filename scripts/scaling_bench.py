@@ -84,11 +84,11 @@ def run_at(n_devices, per_device, n_steps, reps=3):
     roll = jax.jit(rollout, in_shardings=(env_sh, env_sh, None),
                    out_shardings=(env_sh, env_sh, None), donate_argnums=(0,))
     state, obs, tot = roll(state, obs, 0)
-    jax.block_until_ready(tot)
+    float(jax.device_get(tot))  # force: block_until_ready does not wait on axon
     t0 = time.perf_counter()
     for r in range(reps):
         state, obs, tot = roll(state, obs, r + 1)
-    jax.block_until_ready(tot)
+    float(jax.device_get(tot))  # force completion of the last rep
     dt = time.perf_counter() - t0
     return B * n_steps * reps / dt
 
@@ -142,11 +142,11 @@ def worker(proc_id, n_procs, port, per_device, n_steps, devices_per_proc, reps=3
     roll = jax.jit(rollout, in_shardings=(env_sh, env_sh, None),
                    out_shardings=(env_sh, env_sh, None), donate_argnums=(0,))
     state, obs, tot = roll(state, obs, 0)
-    jax.block_until_ready(tot)
+    float(jax.device_get(tot))  # force: block_until_ready does not wait on axon
     t0 = time.perf_counter()
     for r in range(reps):
         state, obs, tot = roll(state, obs, r + 1)
-    jax.block_until_ready(tot)
+    float(jax.device_get(tot))  # force completion of the last rep
     dt = time.perf_counter() - t0
     print(f"SPS {proc_id} {B * n_steps * reps / dt:.1f}", flush=True)
     jax.distributed.shutdown()

@@ -116,7 +116,7 @@ def main():
             if "mean_reward" in m:
                 line += f"  reward {float(m['mean_reward']):+.4f}"
             print(line)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics)  # force: block_until_ready does not wait on axon
     dt = time.perf_counter() - t0
     steps = (args.iters - 1) * B * args.rollout
     print(f"throughput: {steps / dt:,.0f} env-steps/s (train loop, "
