@@ -28,7 +28,14 @@ def device_trace(logdir: str):
 
 
 class Throughput:
-    """Wall-clock env-steps/s counter with warm-up exclusion."""
+    """Wall-clock env-steps/s counter with warm-up exclusion.
+
+    The caller must FORCE device completion before reading
+    ``steps_per_s`` — and on the tunneled axon backend
+    ``jax.block_until_ready`` does NOT wait (dispatch is asynchronous;
+    only a device→host transfer forces, e.g. ``float(jnp.sum(x))`` or
+    ``jax.device_get``) — see docs/performance.md round-5 measurement
+    note."""
 
     def __init__(self):
         self.reset()
