@@ -62,6 +62,12 @@ class VecDCOPF(NamedTuple):
     # Scaled problem data (OSQP form: min q̄ᵀx̄ s.t. l̄ ≤ Āx̄ ≤ ū).
     A_bar: jax.Array      # [m, n]
     M_inv: jax.Array      # [n, n] = (σI + Āᵀdiag(ρ)Ā)⁻¹
+    # [n+m, n] = [M⁻¹; Ā·M⁻¹] (f64 host product): one matvec per sweep
+    # yields x̃ AND Āx̃ together — the sweep's 3 shared-matrix matmuls
+    # become 2.  Ā·(M⁻¹·rhs) re-associated as (Ā·M⁻¹)·rhs changes only
+    # f32 rounding (the product itself is exact f64); the ADMM fixed
+    # point is unchanged and the exit rule tests true residuals.
+    P_pack: jax.Array
     q_bar: jax.Array      # [n]
     rho: jax.Array        # [m] per-row step size (equality rows ×rho_eq_factor)
     inv_rho: jax.Array    # [m]
@@ -222,11 +228,13 @@ def make_vec_dcopf(
 
     M = sigma * np.eye(n) + A_bar.T @ (rho_v[:, None] * A_bar)
     M_inv = np.linalg.inv(M)
+    P_pack = np.concatenate([M_inv, A_bar @ M_inv], axis=0)
 
     bound0 = n_eq + n_ub  # first identity (variable-bound) row
     return VecDCOPF(
         A_bar=jnp.asarray(A_bar, dtype=dtype),
         M_inv=jnp.asarray(M_inv, dtype=dtype),
+        P_pack=jnp.asarray(P_pack, dtype=dtype),
         q_bar=jnp.asarray(q_bar, dtype=dtype),
         rho=jnp.asarray(rho_v, dtype=dtype),
         inv_rho=jnp.asarray(1.0 / rho_v, dtype=dtype),
@@ -376,8 +384,11 @@ def solve_dcopf(spec: VecDCOPF, l, u, warm=None) -> DCOPFSolution:
         x, y, z, Ax = s
         t = jnp.dot(spec.rho * z - y, spec.A_bar, precision=_HIGHEST)
         rhs = spec.sigma * x - spec.q_bar + t
-        xt = jnp.dot(spec.M_inv, rhs, precision=_HIGHEST)
-        zt = jnp.dot(spec.A_bar, xt, precision=_HIGHEST)              # Āx̃
+        # One packed matvec yields x̃ and Āx̃ (see P_pack): 2 matmuls per
+        # sweep instead of 3, re-association exact in the f64 host product.
+        w = jnp.dot(spec.P_pack, rhs, precision=_HIGHEST)
+        xt = w[: spec.n]
+        zt = w[spec.n:]                                               # Āx̃
 
         x_new = spec.alpha * xt + (1.0 - spec.alpha) * x
         Ax_new = spec.alpha * zt + (1.0 - spec.alpha) * Ax
