@@ -1,0 +1,101 @@
+"""Round-5 kernel microbenchmarks: polynomial sincos + packed matvec.
+
+Reproduces the two measurements behind the round-5 chord-body
+optimizations (docs/performance.md):
+
+1. XLA's native sin+cos on [8192, 32] vs the fused Taylor form used by
+   the f32 chord body (power_flow._chord_lane_core.sincos):
+   measured ~7.35 vs ~0.65 us/iter on the v5e.
+2. Four narrow [8192,33]@[33,33] HIGHEST matmuls (the split-complex Y·V)
+   vs two packed [8192,33]@[33,66] against [Yre^T | Yim^T]:
+   measured ~12.6 vs ~9.3 us/iter, bit-identical outputs.
+
+Timing protocol: fetch-ended differenced fori_loop lengths — a scalar
+fetch is the ONLY reliable fence on the axon backend
+(jax.block_until_ready does not wait; CLAUDE.md "Environment traps").
+
+Usage: python scripts/exp_kernel_micro.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B, N = 8192, 33
+HI = jax.lax.Precision.HIGHEST
+
+
+def timed(fn, carry, iters):
+    f = jax.jit(lambda c: jax.lax.fori_loop(0, iters, lambda i, cc: fn(cc), c))
+    r = f(carry)
+    float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))  # compile + settle
+    t0 = time.perf_counter()
+    r = f(carry)
+    float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))  # force
+    return time.perf_counter() - t0
+
+
+def per_iter(fn, carry, n1=1000, n2=11000):
+    t1 = timed(fn, carry, n1)
+    t2 = timed(fn, carry, n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def main():
+    rng = np.random.RandomState(0)
+
+    # --- 1. trig ------------------------------------------------------
+    t = jax.device_put(rng.uniform(-0.3, 0.3, (B, N - 1)).astype(np.float32))
+
+    def native(c):
+        s, co = jnp.sin(c), jnp.cos(c)
+        return c + s * jnp.float32(1e-9) + co * jnp.float32(1e-9)
+
+    def poly(c):
+        t2 = c * c
+        s = c * (1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0 - t2 * (1.0 / 5040.0))))
+        co = 1.0 + t2 * (-0.5 + t2 * (1.0 / 24.0 - t2 * (1.0 / 720.0)))
+        return c + s * jnp.float32(1e-9) + co * jnp.float32(1e-9)
+
+    print(f"native sin+cos [{B},{N-1}]: {per_iter(native, t)*1e6:.2f} us/iter")
+    print(f"poly   sin+cos [{B},{N-1}]: {per_iter(poly, t)*1e6:.2f} us/iter")
+
+    # --- 2. packed matvec ---------------------------------------------
+    Yre = jax.device_put(rng.randn(N, N).astype(np.float32))
+    Yim = jax.device_put(rng.randn(N, N).astype(np.float32))
+    W = jnp.concatenate([Yre.T, Yim.T], axis=1)
+    v = (jax.device_put(rng.randn(B, N).astype(np.float32)),
+         jax.device_put(rng.randn(B, N).astype(np.float32)))
+
+    def four(c):
+        vr, vi = c
+        a = jnp.matmul(vr, Yre.T, precision=HI)
+        b = jnp.matmul(vi, Yim.T, precision=HI)
+        d = jnp.matmul(vi, Yre.T, precision=HI)
+        e = jnp.matmul(vr, Yim.T, precision=HI)
+        return (vr + (a - b) * jnp.float32(1e-9), vi + (d + e) * jnp.float32(1e-9))
+
+    def two(c):
+        vr, vi = c
+        A = jnp.matmul(vr, W, precision=HI)
+        Bm = jnp.matmul(vi, W, precision=HI)
+        yvr = A[:, :N] - Bm[:, N:]
+        yvi = Bm[:, :N] + A[:, N:]
+        return (vr + yvr * jnp.float32(1e-9), vi + yvi * jnp.float32(1e-9))
+
+    print(f"4x [{B},{N}]@[{N},{N}] HIGHEST: {per_iter(four, v, 500, 5500)*1e6:.2f} us/iter")
+    print(f"2x [{B},{N}]@[{N},{2*N}] HIGHEST: {per_iter(two, v, 500, 5500)*1e6:.2f} us/iter")
+    r4, r2 = four(v), two(v)
+    print("packed-vs-four max |dx|:",
+          float(jnp.max(jnp.abs(r4[0] - r2[0]))),
+          float(jnp.max(jnp.abs(r4[1] - r2[1]))))
+
+
+if __name__ == "__main__":
+    main()
