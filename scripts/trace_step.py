@@ -145,7 +145,9 @@ def summarize(trace_dir, n_steps_total, top=25):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 8192
-    which = "multicap" if "--task=multicap" in sys.argv else "ieee33"
+    argstr = " ".join(sys.argv[1:])
+    which = "multicap" if ("--task=multicap" in sys.argv
+                           or "--task multicap" in argstr) else "ieee33"
     top = 25
     for a in sys.argv:
         if a.startswith("--top="):
